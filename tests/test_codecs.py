@@ -1,0 +1,139 @@
+"""Codec kernel round trips (SURVEY.md §5.2 item 2, fixtures per FIXTURES.md F6).
+
+Every codec must satisfy decode(encode(x)) == x bitwise on its supported
+types, including the edge shapes: empty, all-null, single-run, max
+cardinality, exact bit widths (1/7/32/48/64 — the u48 shape mirrors the
+reference's 6-byte timestamp decode, ref NQ:2764-2771), non-ASCII UTF-8,
+zero-length-vs-NULL strings (the reference distinguishes unset optional from
+empty trim, ref NQ:293-304).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from omi_cpp_parquet_wide_record_spark.codecs import (
+    decode_column, encode_column,
+)
+from tests.conftest import arrays_equal
+
+INT_CODECS = ["plain", "for", "delta", "dict", "rle"]
+POSINT_CODECS = INT_CODECS + ["bitpack"]
+STR_CODECS = ["plain", "dict", "rle", "fsst"]
+
+
+def roundtrip(arr: pa.Array, codec: str) -> None:
+    e = encode_column(arr, codec)
+    d = decode_column(e.payload, e.params)
+    assert arrays_equal(arr, d), f"{codec} round trip failed"
+
+
+# ---------------------------------------------------------------- integers
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_int64_edges(codec):
+    for vals in (
+        [],
+        [None] * 7,
+        [0],
+        [5] * 100,                                   # single run
+        list(range(1000)),                           # monotone, max cardinality
+        [1, None, -1, 2**62, -(2**62), 0, None],     # extremes + nulls
+        [2**63 - 1, -(2**63), 0],                    # full int64 range (FOR wrap)
+        [(1 << 48) - 1, 1 << 47, 0, 12345],          # u48 timestamp shape
+    ):
+        roundtrip(pa.array(vals, type=pa.int64()), codec)
+
+
+@pytest.mark.parametrize("codec", POSINT_CODECS)
+@pytest.mark.parametrize("width", [1, 7, 32, 48, 63])
+def test_exact_bit_widths(codec, width):
+    top = (1 << width) - 1
+    vals = [0, 1, top, top // 2, top, None, 0]
+    roundtrip(pa.array(vals, type=pa.int64()), codec)
+
+
+@pytest.mark.parametrize("codec", INT_CODECS)
+@pytest.mark.parametrize("t", [pa.int32(), pa.int16(), pa.int8()])
+def test_narrow_int_types(codec, t):
+    roundtrip(pa.array([1, -5, None, 100, 0, 100], type=t), codec)
+
+
+@pytest.mark.parametrize("codec", ["plain", "for", "delta", "rle"])
+def test_timestamp_and_date(codec):
+    roundtrip(pa.array([1735689600000000 + i * 1001 for i in range(500)],
+                       type=pa.timestamp("us")), codec)
+    roundtrip(pa.array([19000, 19001, None, 20000], type=pa.date32()), codec)
+
+
+@pytest.mark.parametrize("codec", ["plain", "bitpack", "rle", "dict"])
+def test_bool(codec):
+    roundtrip(pa.array([True, False, None, True] * 50), codec)
+
+
+# ---------------------------------------------------------------- floats
+
+@pytest.mark.parametrize("codec", ["plain", "dict", "rle"])
+def test_floats(codec):
+    roundtrip(pa.array([1.5, None, -0.0, 0.0, float("nan"), float("inf"), 2.5e300],
+                       type=pa.float64()), codec)
+    roundtrip(pa.array([1.5, None, -0.0], type=pa.float32()), codec)
+
+
+# ---------------------------------------------------------------- strings
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_string_edges(codec):
+    for vals in (
+        [],
+        [None, None],
+        [""],                                        # empty != NULL (NQ:293-304)
+        ["", None, "", None],
+        ["a"] * 200,
+        ["日本語テキスト", "über", "naïve", "ÿþ", ""],
+        [f"https://example{i % 7}.com/path/{i}" for i in range(300)],
+    ):
+        roundtrip(pa.array(vals, type=pa.string()), codec)
+
+
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_binary_with_escape_bytes(codec):
+    # 0xFF is the FSST escape: stress runs of it in payload
+    vals = [b"\xff" * k for k in range(20)] + [b"\x00\xffa\xff\xff", None, b""]
+    roundtrip(pa.array(vals, type=pa.binary()), codec)
+
+
+def test_fsst_compresses_web_text():
+    rng = np.random.default_rng(42)
+    words = ["the", "quick", "brown", "compression", "http", "table", "spark"]
+    docs = [" ".join(rng.choice(words, 60)) for _ in range(200)]
+    arr = pa.array(docs)
+    e = encode_column(arr, "fsst")
+    assert len(e.payload) < 0.5 * e.bytes_in, (len(e.payload), e.bytes_in)
+    assert arrays_equal(arr, decode_column(e.payload, e.params))
+
+
+# ---------------------------------------------------------------- hypothesis
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)), max_size=300))
+@pytest.mark.parametrize("codec", INT_CODECS)
+def test_prop_int64(codec, xs):
+    roundtrip(pa.array(xs, type=pa.int64()), codec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=40)), max_size=200))
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_prop_binary(codec, xs):
+    roundtrip(pa.array(xs, type=pa.binary()), codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=200))
+@pytest.mark.parametrize("codec", STR_CODECS)
+def test_prop_text(codec, xs):
+    roundtrip(pa.array(xs, type=pa.string()), codec)
