@@ -1,0 +1,113 @@
+"""Sampling-based codec auto-selection (SURVEY.md §2.3).
+
+Mirrors how each reference field struct pins its own parquet_type /
+converted_type statically (ref NQ:287-289) — except our engine *chooses* the
+encoding per column per chunk, by measuring: take a bounded sample of the
+column, actually encode it with every candidate codec for its type, and pick
+the smallest output. Trial-encoding the sample is cheap (samples are capped)
+and honest — no model of codec behavior can drift from the codecs themselves.
+
+Candidate sets by logical type:
+
+- integer-like (ints, bool, timestamp, date): dict, rle, bitpack*, for, delta, plain
+- float: dict, rle, plain
+- bytes-like (string/binary): dict, rle, fsst, plain
+
+(*bitpack only when the sample is non-negative.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from omi_cpp_parquet_wide_record_spark.codecs import encode_column
+from omi_cpp_parquet_wide_record_spark.codecs.base import (
+    is_bytes_like, is_int_like,
+)
+
+DEFAULT_SAMPLE_ROWS = 4096
+
+
+@dataclass
+class Choice:
+    codec: str
+    est_ratio: float          # sample bytes_in / sample payload bytes
+    trials: dict[str, int]    # codec -> sample payload bytes
+
+
+def candidates_for(arr: pa.Array) -> list[str]:
+    t = arr.type
+    if is_bytes_like(t):
+        return ["dict", "rle", "fsst", "plain"]
+    if is_int_like(t):
+        cands = ["dict", "rle", "for", "delta", "plain"]
+        nn = arr.drop_null() if arr.null_count else arr
+        if pa.types.is_boolean(t):
+            cands.insert(2, "bitpack")
+        elif len(nn):
+            vt = nn
+            if pa.types.is_timestamp(t):
+                vt = nn.cast(pa.int64())
+            elif pa.types.is_date32(t):
+                vt = nn.cast(pa.int32())
+            mn = pa.compute.min(vt).as_py()
+            if mn is not None and int(mn) >= 0:
+                cands.insert(2, "bitpack")
+        return cands
+    if pa.types.is_floating(t):
+        return ["dict", "rle", "plain"]
+    return ["plain"]
+
+
+def sample_array(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS,
+                 seed: int = 42) -> pa.Array:
+    """Deterministic sample: a contiguous head slice plus a strided tail.
+
+    Contiguity matters — RLE/DELTA gains live in run structure that a random
+    shuffle would destroy, so uniform row sampling would systematically
+    mis-rank them. Half the budget goes to the head (run structure), half to
+    an even stride across the rest (global value diversity).
+    """
+    n = len(arr)
+    if n <= max_rows:
+        return arr
+    head = max_rows // 2
+    stride_budget = max_rows - head
+    idx = np.unique(np.concatenate([
+        np.arange(head, dtype=np.int64),
+        np.linspace(head, n - 1, stride_budget, dtype=np.int64),
+    ]))
+    return arr.take(pa.array(idx))
+
+
+def choose_codec(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS) -> Choice:
+    sample = sample_array(arr, max_rows)
+    trials: dict[str, int] = {}
+    best, best_size = "plain", None
+    bytes_in = None
+    for name in candidates_for(sample):
+        try:
+            e = encode_column(sample, name)
+        except (ValueError, TypeError):
+            continue
+        trials[name] = len(e.payload)
+        bytes_in = e.bytes_in
+        if best_size is None or len(e.payload) < best_size:
+            best, best_size = name, len(e.payload)
+    ratio = (bytes_in / best_size) if (bytes_in and best_size) else 1.0
+    return Choice(best, ratio, trials)
+
+
+def plan_columns(batch: pa.RecordBatch | pa.Table,
+                 max_rows: int = DEFAULT_SAMPLE_ROWS) -> dict[str, Choice]:
+    """Codec plan for every column of a batch/table sample."""
+    out: dict[str, Choice] = {}
+    for name in batch.schema.names:
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out[name] = choose_codec(col, max_rows)
+    return out
