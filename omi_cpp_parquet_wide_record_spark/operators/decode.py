@@ -1,0 +1,79 @@
+"""Distributed decode: chunk store -> DataFrame, bit-identical to the input.
+
+The inverse of operators/encode.py and the engine's analogue of the
+reference's read-back path (O13, ref NQ:3811-3824: StreamReader >> record for
+every row). Spark shape: a tiny DataFrame of chunk file paths fans out over
+the cluster; each task reads its files, decodes every column with the numpy
+kernels, and emits Arrow batches. No data ever routes through the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omi_cpp_parquet_wide_record_spark.codecs import decode_column
+from omi_cpp_parquet_wide_record_spark.operators.encode import CHUNK_MAGIC
+from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+
+
+def read_chunk_file(path: str, columns: list[str] | None = None,
+                    check_sha: bool = False) -> pa.Table:
+    """Decode one self-describing chunk file (column pruning supported)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[-5:] != CHUNK_MAGIC:
+        raise ValueError(f"bad chunk magic in {path}")
+    flen = int.from_bytes(data[-9:-5], "little")
+    footer = json.loads(data[-9 - flen:-9])
+    arrays, names = [], []
+    for col in footer["columns"]:
+        if columns is not None and col["name"] not in columns:
+            continue
+        payload = memoryview(data)[col["offset"]:col["offset"] + col["length"]]
+        if check_sha and hashlib.sha256(payload).hexdigest() != col["sha256"]:
+            raise ValueError(f"sha256 mismatch for {col['name']} in {path}")
+        arrays.append(decode_column(payload, col["params"]))
+        names.append(col["name"])
+    return pa.table(dict(zip(names, arrays)))
+
+
+def decode_store(spark: SparkSession, out_dir: str,
+                 columns: list[str] | None = None,
+                 check_sha: bool = False) -> DataFrame:
+    """The live snapshot as a DataFrame (distributed decode)."""
+    store = ChunkStore(out_dir)
+    snap = store.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no snapshot at {out_dir}")
+    schema = store.arrow_schema()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    manifest = store.manifest_table()
+    files = sorted(set(manifest.column("chunk_file").to_pylist()))
+    chunks_dir = store.chunks_dir
+
+    parallelism = min(max(len(files), 1),
+                      spark.sparkContext.defaultParallelism * 4)
+    files_df = spark.createDataFrame([(f,) for f in files], "chunk_file string") \
+        .repartition(parallelism)
+
+    # spark-side schema string for mapInArrow
+    from pyspark.sql.pandas.types import from_arrow_schema
+    spark_schema = from_arrow_schema(schema)
+
+    def task(batches):
+        for b in batches:
+            for fname in b.column("chunk_file").to_pylist():
+                t = read_chunk_file(os.path.join(chunks_dir, fname),
+                                    columns=list(schema.names),
+                                    check_sha=check_sha)
+                t = t.select(schema.names).cast(schema)
+                yield from t.to_batches()
+
+    return files_df.mapInArrow(task, spark_schema)

@@ -1,0 +1,245 @@
+"""Distributed per-column encode: the engine's replacement for the
+reference's Parquet sink (O11, ref NQ:3385-3398 — StreamWriter with default
+dictionary encoding, UNCOMPRESSED, 1,000-row groups).
+
+Spark shape (SURVEY.md §3):
+
+    df
+      .withColumn(__pid, pmod(xxhash64(partition/salt cols), num_pids))   # stable work units
+      .filter(~__pid.isin(committed))                                     # resume anti-filter
+      .repartition(num_pids, __pid)                                       # shuffle boundary #1
+      .sortWithinPartitions(__pid)
+      .mapInArrow(encode_task)                                            # Arrow batches -> numpy kernels
+      -> manifest rows -> driver commit (snapshot JSON)                   # tiny collect: metadata only
+
+Work-unit ids (__pid) are *content-derived* (xxhash64 of the partition
+columns mod N), not Spark partition indexes, so they are stable across runs,
+cluster sizes, and AQE decisions — that is what makes resume sound. Skew is
+tamed by salting: the pid hash always includes a bucket term
+pmod(xxhash64(key), salt) so a hot language/domain spreads over `salt`
+distinct pids (SURVEY.md §2.2). Only metadata ever reaches the driver; chunk
+payloads go straight from executors to the store.
+
+Chunk file layout: [column payloads...][footer JSON][footer_len u32 LE][OWRC1]
+— self-describing, so the decode path needs only file paths.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from omi_cpp_parquet_wide_record_spark.codecs import encode_column
+from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+    MANIFEST_SCHEMA, ChunkStore,
+)
+from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+
+CHUNK_MAGIC = b"OWRC1"
+PID_COL = "__owr_pid"
+
+
+@dataclass
+class EncodeResult:
+    snapshot: dict
+    rows: int
+    bytes_in: int
+    bytes_out: int
+    seconds: float
+    pids_encoded: int
+    pids_skipped: int
+
+    @property
+    def ratio(self) -> float:
+        return self.bytes_in / self.bytes_out if self.bytes_out else float("nan")
+
+
+def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
+                 plan_cache: dict, run_id: str, tag: str) -> list[dict]:
+    """Encode every column of one chunk, write the file, return manifest rows."""
+    fname = f"chunk-p{pid:05d}-s{seq:04d}-{tag}.owrc"
+    rows: list[dict] = []
+    payloads: list[bytes] = []
+    offset = 0
+    footer_cols = []
+    for name in table.schema.names:
+        arr = table.column(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # one codec choice per (pid, column): chosen on the pid's first chunk,
+        # reused after (columns are homogeneous within a work unit)
+        key = (pid, name)
+        if key not in plan_cache:
+            plan_cache[key] = choose_codec(arr).codec
+        enc = encode_column(arr, plan_cache[key])
+        digest = hashlib.sha256(enc.payload).hexdigest()
+        rows.append({
+            "chunk_file": fname, "pid": pid, "seq": seq, "column": name,
+            "codec": enc.codec, "params": json.dumps(enc.params),
+            "rows": enc.rows, "nulls": enc.nulls, "bytes_in": enc.bytes_in,
+            "bytes_out": len(enc.payload), "offset": offset,
+            "length": len(enc.payload), "sha256": digest, "run_id": run_id,
+        })
+        footer_cols.append({"name": name, "codec": enc.codec,
+                            "params": enc.params, "offset": offset,
+                            "length": len(enc.payload), "sha256": digest})
+        payloads.append(enc.payload)
+        offset += len(enc.payload)
+    footer = json.dumps({"pid": pid, "seq": seq, "rows": table.num_rows,
+                         "columns": footer_cols}).encode()
+    with open(os.path.join(chunks_dir, fname), "wb") as f:
+        for p in payloads:
+            f.write(p)
+        f.write(footer)
+        f.write(len(footer).to_bytes(4, "little"))
+        f.write(CHUNK_MAGIC)
+    return rows
+
+
+def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
+                         chunk_bytes: int):
+    """Build the mapInArrow function. Accumulates per-pid batch slices and
+    flushes a chunk when either budget trips; all slicing is zero-copy."""
+
+    def task(batches):
+        from pyspark import TaskContext
+        tc = TaskContext.get()
+        tag = f"{run_id[:8]}-t{tc.taskAttemptId() if tc else 0}-{uuid.uuid4().hex[:6]}"
+        plan_cache: dict = {}
+        acc: dict[int, list[pa.RecordBatch]] = {}
+        acc_rows: dict[int, int] = {}
+        acc_bytes: dict[int, int] = {}
+        seq: dict[int, int] = {}
+        out_rows: list[dict] = []
+
+        def flush(pid: int):
+            if not acc.get(pid):
+                return
+            tbl = pa.Table.from_batches(acc[pid]).drop_columns([PID_COL])
+            out_rows.extend(_write_chunk(chunks_dir, pid, seq.get(pid, 0),
+                                         tbl, plan_cache, run_id, tag))
+            seq[pid] = seq.get(pid, 0) + 1
+            acc[pid], acc_rows[pid], acc_bytes[pid] = [], 0, 0
+
+        for batch in batches:
+            pids = batch.column(PID_COL).to_numpy()
+            if len(pids) == 0:
+                continue
+            # batches are sorted by pid (sortWithinPartitions): split at changes
+            change = np.flatnonzero(pids[1:] != pids[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(pids)]))
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                pid = int(pids[lo])
+                sl = batch.slice(lo, hi - lo)
+                acc.setdefault(pid, []).append(sl)
+                acc_rows[pid] = acc_rows.get(pid, 0) + (hi - lo)
+                acc_bytes[pid] = acc_bytes.get(pid, 0) + sl.nbytes
+                if acc_rows[pid] >= chunk_rows or acc_bytes[pid] >= chunk_bytes:
+                    flush(pid)
+        for pid in list(acc):
+            flush(pid)
+        if out_rows:
+            cols = {f.name: [r[f.name] for r in out_rows]
+                    for f in MANIFEST_SCHEMA}
+            yield pa.RecordBatch.from_pydict(cols, schema=MANIFEST_SCHEMA)
+
+    return task
+
+
+def pid_expr(partition_by: list[str] | None, salt_key: str | None,
+             num_pids: int, salt: int):
+    """Content-derived work-unit id: pmod(xxhash64(partition cols [+ salt
+    bucket]), num_pids). The salt bucket splits hot partition values."""
+    if partition_by:
+        cols = [F.col(c) for c in partition_by]
+        if salt_key is not None and salt > 1:
+            cols.append(F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt)))
+        return F.pmod(F.xxhash64(*cols), F.lit(num_pids)).cast("int")
+    if salt_key is None:
+        raise ValueError("need partition_by and/or salt_key")
+    return F.pmod(F.xxhash64(F.col(salt_key)), F.lit(num_pids)).cast("int")
+
+
+def encode_dataframe(
+    df: DataFrame,
+    out_dir: str,
+    partition_by: list[str] | None = None,
+    salt_key: str | None = None,
+    num_pids: int | None = None,
+    salt: int = 16,
+    chunk_rows: int = 65536,
+    chunk_bytes: int = 64 << 20,
+    resume: bool = True,
+    run_id: str | None = None,
+) -> EncodeResult:
+    """Encode a DataFrame into the chunk store at ``out_dir``.
+
+    partition_by: value columns that should be homogeneous per work unit
+    (e.g. ["lang"] — DICT/FSST tables then specialize per language).
+    salt_key: high-cardinality column (e.g. "url") hashed into the pid to
+    split skewed partition_by values across `salt` buckets.
+    """
+    t0 = time.time()
+    spark = df.sparkSession
+    run_id = run_id or uuid.uuid4().hex
+    store = ChunkStore(out_dir).create()
+    if num_pids is None:
+        num_pids = max(spark.sparkContext.defaultParallelism * 2, 8)
+
+    if salt_key is None and partition_by is None:
+        salt_key = df.columns[0]
+
+    pid = pid_expr(partition_by, salt_key, num_pids, salt)
+    work = df.withColumn(PID_COL, pid)
+
+    committed = store.committed_pids() if resume else set()
+    if committed:
+        work = work.filter(~F.col(PID_COL).isin(*[int(p) for p in committed]))
+
+    work = (work.repartition(num_pids, F.col(PID_COL))
+                .sortWithinPartitions(PID_COL))
+
+    task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
+                                chunk_bytes)
+    manifest_df = work.mapInArrow(task, _manifest_ddl())
+    manifest_rows = manifest_df.toArrow().cast(MANIFEST_SCHEMA)
+    if manifest_rows.num_rows == 0 and not committed:
+        raise ValueError("nothing to encode: input DataFrame is empty")
+
+    snap = store.commit(manifest_rows, _spark_to_arrow_schema(df), run_id)
+
+    import pyarrow.compute as pc
+    bi = pc.sum(manifest_rows.column("bytes_in")).as_py() or 0
+    bo = pc.sum(manifest_rows.column("bytes_out")).as_py() or 0
+    first_col = df.columns[0]
+    rows = pc.sum(manifest_rows.filter(
+        pc.equal(manifest_rows.column("column"), first_col)
+    ).column("rows")).as_py() or 0
+    return EncodeResult(
+        snapshot=snap, rows=rows, bytes_in=bi, bytes_out=bo,
+        seconds=time.time() - t0,
+        pids_encoded=len(set(manifest_rows.column("pid").to_pylist())),
+        pids_skipped=len(committed),
+    )
+
+
+def _manifest_ddl() -> str:
+    return ("chunk_file string, pid int, seq int, column string, codec string,"
+            " params string, rows long, nulls long, bytes_in long,"
+            " bytes_out long, offset long, length long, sha256 string,"
+            " run_id string")
+
+
+def _spark_to_arrow_schema(df: DataFrame) -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+    return to_arrow_schema(df.schema)

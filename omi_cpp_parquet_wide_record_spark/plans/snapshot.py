@@ -1,0 +1,155 @@
+"""Iceberg-style chunk store: manifests + snapshots + atomic commit.
+
+The store replaces the reference's single output Parquet file (converter ctor
++ close, ref NQ:3385-3398/3772-3774) with a resumable table of compressed
+column chunks:
+
+    <root>/chunks/chunk-p<pid>-s<seq>-<tag>.owrc     column payloads + footer
+    <root>/manifests/manifest-<n>.parquet            one row per column chunk
+    <root>/snapshots/snapshot-<n>.json               manifest list + lineage
+    <root>/_current                                  name of live snapshot
+
+Commit protocol (single-writer, Iceberg-flavored): write the new manifest
+parquet, write snapshot-<n>.json referencing parent snapshot + all live
+manifests, then atomically os.replace() the _current pointer. A crash before
+the pointer flip leaves the previous snapshot live and the new chunk files
+orphaned (ignored by readers, removable by GC). Resume = the set of committed
+partition ids in the live snapshot; the encode job anti-joins its work units
+against it (SURVEY.md §2.2).
+
+No Iceberg runtime jar exists in this sandbox (verified); the snapshot JSON
+convention keeps identical semantics and would swap for Iceberg REPLACE
+commits on a real deployment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema([
+    ("chunk_file", pa.string()),
+    ("pid", pa.int32()),          # resume/partition unit
+    ("seq", pa.int32()),          # chunk sequence within pid
+    ("column", pa.string()),
+    ("codec", pa.string()),
+    ("params", pa.string()),      # JSON
+    ("rows", pa.int64()),
+    ("nulls", pa.int64()),
+    ("bytes_in", pa.int64()),     # plain-equivalent input bytes
+    ("bytes_out", pa.int64()),
+    ("offset", pa.int64()),
+    ("length", pa.int64()),
+    ("sha256", pa.string()),
+    ("run_id", pa.string()),
+])
+
+
+class ChunkStore:
+    def __init__(self, root: str):
+        self.root = root
+        self.chunks_dir = os.path.join(root, "chunks")
+        self.manifests_dir = os.path.join(root, "manifests")
+        self.snapshots_dir = os.path.join(root, "snapshots")
+        self.current_path = os.path.join(root, "_current")
+
+    def create(self) -> "ChunkStore":
+        for d in (self.chunks_dir, self.manifests_dir, self.snapshots_dir):
+            os.makedirs(d, exist_ok=True)
+        return self
+
+    # ------------------------------------------------------------- reading
+
+    def current_snapshot(self) -> dict | None:
+        if not os.path.exists(self.current_path):
+            return None
+        with open(self.current_path) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.snapshots_dir, name)) as f:
+            return json.load(f)
+
+    def committed_pids(self) -> set[int]:
+        snap = self.current_snapshot()
+        return set(snap["committed_pids"]) if snap else set()
+
+    def manifest_table(self) -> pa.Table:
+        """All manifest rows of the live snapshot."""
+        snap = self.current_snapshot()
+        if not snap or not snap["manifests"]:
+            return MANIFEST_SCHEMA.empty_table()
+        tables = [pq.read_table(os.path.join(self.manifests_dir, m))
+                  for m in snap["manifests"]]
+        return pa.concat_tables(tables)
+
+    def arrow_schema(self) -> pa.Schema:
+        snap = self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.root}")
+        import base64
+        return pa.ipc.read_schema(
+            pa.py_buffer(base64.b64decode(snap["schema_ipc"])))
+
+    # ------------------------------------------------------------ commit
+
+    def commit(self, manifest: pa.Table, schema: pa.Schema,
+               run_id: str, stats: dict | None = None) -> dict:
+        """Append a manifest and flip the snapshot pointer atomically."""
+        import base64
+        self.create()
+        parent = self.current_snapshot()
+        n = (parent["n"] + 1) if parent else 0
+        mname = f"manifest-{n:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        pq.write_table(manifest.cast(MANIFEST_SCHEMA),
+                       os.path.join(self.manifests_dir, mname))
+        new_pids = set(manifest.column("pid").to_pylist())
+        committed = (set(parent["committed_pids"]) if parent else set()) | new_pids
+        snap = {
+            "n": n,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "created_ms": int(time.time() * 1000),
+            "run_id": run_id,
+            "manifests": (parent["manifests"] if parent else []) + [mname],
+            "committed_pids": sorted(committed),
+            "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),
+            "stats": stats or {},
+        }
+        sname = f"snapshot-{n:05d}.json"
+        with open(os.path.join(self.snapshots_dir, sname), "w") as f:
+            json.dump(snap, f)
+        tmp = self.current_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(sname)
+        os.replace(tmp, self.current_path)   # atomic pointer flip
+        return snap
+
+    # ------------------------------------------------------------ stats
+
+    def metrics(self) -> dict:
+        """Rollup over the live snapshot's manifest rows."""
+        m = self.manifest_table()
+        if m.num_rows == 0:
+            return {"chunks": 0, "bytes_in": 0, "bytes_out": 0, "ratio": None}
+        import pyarrow.compute as pc
+        bi = pc.sum(m.column("bytes_in")).as_py()
+        bo = pc.sum(m.column("bytes_out")).as_py()
+        by_codec = {}
+        for codec in pc.unique(m.column("codec")).to_pylist():
+            mask = pc.equal(m.column("codec"), codec)
+            sub = m.filter(mask)
+            by_codec[codec] = {
+                "bytes_in": pc.sum(sub.column("bytes_in")).as_py(),
+                "bytes_out": pc.sum(sub.column("bytes_out")).as_py(),
+                "chunks": sub.num_rows,
+            }
+        return {"chunks": m.num_rows, "pids": len(set(m.column("pid").to_pylist())),
+                "rows": pc.sum(m.column("rows").filter(
+                    pc.equal(m.column("column"),
+                             m.column("column")[0]))).as_py() if m.num_rows else 0,
+                "bytes_in": bi, "bytes_out": bo,
+                "ratio": (bi / bo) if bo else None, "by_codec": by_codec}

@@ -1,0 +1,111 @@
+"""End-to-end engine tests (SURVEY.md §5.2 items 4-5): Spark encode ->
+chunk store -> Spark decode -> bit-identical join vs source, size <= the
+reference-config golden Parquet, and resumability."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from omi_cpp_parquet_wide_record_spark import fixtures as FX
+from omi_cpp_parquet_wide_record_spark.operators.decode import (
+    decode_store, read_chunk_file,
+)
+from omi_cpp_parquet_wide_record_spark.operators.encode import encode_dataframe
+from omi_cpp_parquet_wide_record_spark.operators.verify import verify_roundtrip
+from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+
+ROWS = 4000
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return FX.web_pages_df(spark, ROWS, partitions=4).cache()
+
+
+def test_encode_decode_bit_identical(spark, corpus, tmp_path):
+    out = str(tmp_path / "store")
+    res = encode_dataframe(corpus, out, partition_by=["lang"],
+                           salt_key="url", num_pids=16, salt=4,
+                           chunk_rows=1000)
+    assert res.rows == ROWS
+    assert res.ratio > 1.5, res.ratio
+
+    decoded = decode_store(spark, out, check_sha=True)
+    v = verify_roundtrip(corpus, decoded, key="url")
+    assert v.ok, v
+
+    # column pruning decodes only requested columns
+    two = decode_store(spark, out, columns=["url", "lang"])
+    assert two.columns == ["url", "lang"]
+    assert two.count() == ROWS
+
+
+def test_size_beats_reference_golden(spark, corpus, tmp_path):
+    out = str(tmp_path / "store")
+    encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                     num_pids=8, salt=2)
+    chunks_dir = os.path.join(out, "chunks")
+    chunk_bytes = sum(os.path.getsize(os.path.join(chunks_dir, f))
+                      for f in os.listdir(chunks_dir))
+    golden = str(tmp_path / "golden.parquet")
+    golden_bytes = FX.write_golden_parquet(FX.web_pages_table(ROWS), golden)
+    # north rule: total compressed size <= reference-config Parquet output
+    assert chunk_bytes <= golden_bytes, (chunk_bytes, golden_bytes)
+
+
+def test_resume_skips_committed(spark, corpus, tmp_path):
+    out = str(tmp_path / "store")
+    r1 = encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                          num_pids=12, salt=4)
+    assert r1.pids_skipped == 0
+    # second run: everything committed -> nothing re-encoded
+    r2 = encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                          num_pids=12, salt=4)
+    assert r2.pids_encoded == 0
+    assert r2.pids_skipped == r1.pids_encoded
+    # decode still yields the full corpus exactly once
+    assert decode_store(spark, out).count() == ROWS
+
+
+def test_resume_after_partial_commit(spark, corpus, tmp_path):
+    """Kill-after-K-commits simulation: commit a manifest for a subset of
+    pids, rerun, assert only the missing pids are encoded (SURVEY §5.2.5)."""
+    out = str(tmp_path / "store")
+    r1 = encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                          num_pids=12, salt=4)
+    store = ChunkStore(out)
+    full = store.manifest_table()
+    all_pids = sorted(set(full.column("pid").to_pylist()))
+    keep = all_pids[: len(all_pids) // 2]
+    # rebuild the store as if the run died after committing `keep`
+    import shutil
+    partial_dir = str(tmp_path / "partial")
+    shutil.copytree(os.path.join(out, "chunks"),
+                    os.path.join(partial_dir, "chunks"))
+    pstore = ChunkStore(partial_dir).create()
+    mask = pa.compute.is_in(full.column("pid"),
+                            value_set=pa.array(keep, type=pa.int32()))
+    pstore.commit(full.filter(mask), store.arrow_schema(), "partial-run")
+    assert pstore.committed_pids() == set(keep)
+
+    r2 = encode_dataframe(corpus, partial_dir, partition_by=["lang"],
+                          salt_key="url", num_pids=12, salt=4)
+    assert r2.pids_skipped == len(keep)
+    assert r2.pids_encoded == len(all_pids) - len(keep)
+    decoded = decode_store(spark, partial_dir)
+    v = verify_roundtrip(corpus, decoded, key="url")
+    assert v.ok, v
+
+
+def test_chunk_file_self_describing(spark, corpus, tmp_path):
+    out = str(tmp_path / "store")
+    encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                     num_pids=4, salt=2)
+    chunks_dir = os.path.join(out, "chunks")
+    fname = sorted(os.listdir(chunks_dir))[0]
+    t = read_chunk_file(os.path.join(chunks_dir, fname), check_sha=True)
+    assert set(t.schema.names) == {"url", "warc_ts", "html", "text", "lang"}
+    assert t.num_rows > 0
