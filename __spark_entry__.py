@@ -1,38 +1,465 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Registers every implemented operator from SURVEY.md §2 as a (spark, sf_dir)
+-> DataFrame callable, with a DuckDB-equivalent oracle where the semantics
+are ANSI-SQL-expressible. Conventions shared by both sides:
+
+- floating-point outputs are floor-truncated (floor(x*10^d)/10^d), never
+  round()ed — Spark rounds half-up, DuckDB half-even, and double summation
+  order differs between engines, so ranking/filtering always uses the
+  truncated value;
+- timestamps are returned as epoch microseconds (unix_micros/epoch_us) to
+  dodge timezone rendering differences;
+- every computed column is aliased identically on both sides.
+
+Engine-roundtrip queries encode the driver tables into a chunk store under
+/tmp and decode them back — the decoded DataFrame must hash-match
+`SELECT ... FROM t` exactly, which is the bit-identity gate run per-codec.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+TRUNC6 = "floor({} * 1000000) / 1000000"
+
+
+# --------------------------------------------------------------------------
+# engine roundtrip helpers
+# --------------------------------------------------------------------------
+
+_STORE_ROOT = "/tmp/owr_entry_stores"
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
+               cols: list[str], overrides: dict[str, str],
+               variant: str, ts_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Encode table[cols] into a cached chunk store, decode it back."""
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")) \
+        .select(*cols)
+    n_src = src.count()
+    key = hashlib.sha256(
+        f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}|v3"
+        .encode()).hexdigest()[:16]
+    out = os.path.join(_STORE_ROOT, key)
+    ok = False
+    if os.path.exists(os.path.join(out, "_current")):
+        try:
+            ok = decode_store(spark, out).count() == n_src
+        except Exception:
+            ok = False
+    if not ok:
+        shutil.rmtree(out, ignore_errors=True)
+        encode_dataframe(src, out, salt_key=cols[0], num_pids=8,
+                         codec_overrides=overrides)
+    decoded = decode_store(spark, out)
+    for c in ts_cols:
+        decoded = decoded.withColumn(c, F.unix_micros(F.col(c)))
+    return decoded
+
+
+def _ts_us(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.unix_micros(F.col(c)))
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full encode->decode roundtrip of the documents table at
+    sf0.001 through the chunk store (codec auto-selection, salted
+    partitioning, snapshot commit) — the engine's O11+O13 pipeline."""
+    return _roundtrip(spark, "/root/testdata/sf0.001", "documents",
+                      ["doc_id", "text", "lang", "source", "n_chars"],
+                      {}, "flagship")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from omi_cpp_parquet_wide_record_spark.operators import (
+        dedup, etl, multimodal, similarity, text,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    # ---------------- engine core: per-codec bit-identity roundtrips (O11/O13)
+    q["o11_encode_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "documents", ["doc_id", "text", "lang", "source", "n_chars"],
+        {}, "auto")
+    q["codec_dict_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "documents", ["doc_id", "lang", "source"],
+        {"lang": "dict", "source": "dict", "doc_id": "plain"}, "dict")
+    q["codec_rle_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "events", ["event_id", "event_type"],
+        {"event_type": "rle", "event_id": "plain"}, "rle")
+    q["codec_fsst_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "documents", ["doc_id", "text"],
+        {"text": "fsst", "doc_id": "plain"}, "fsst")
+    q["codec_delta_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "events", ["event_id", "ts"],
+        {"event_id": "delta", "ts": "delta"}, "delta", ts_cols=("ts",))
+    q["codec_bitpack_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "events", ["event_id", "user_id"],
+        {"event_id": "bitpack", "user_id": "bitpack"}, "bitpack")
+    q["codec_for_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "orders", ["o_orderkey", "o_custkey"],
+        {"o_orderkey": "for", "o_custkey": "for"}, "for")
+    q["codec_plain_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "events", ["event_id", "value", "props"],
+        {"event_id": "plain", "value": "plain", "props": "plain"}, "plain")
+
+    # ---------------- reference operators O2-O14 over the driver tables
+    q["o2_protocol_filter"] = lambda s, d: etl.protocol_filter(
+        _read(s, d, "events"), "event_type", "click"
+    ).select("event_id", "user_id", "value")
+
+    q["o3_dense_row_index"] = lambda s, d: etl.dense_row_index(
+        _read(s, d, "events").select("event_id"), "event_id"
+    ).select("event_id", "pcap_index")
+
+    q["o4_envelope_projection"] = lambda s, d: etl.envelope_projection(
+        _read(s, d, "documents"), "text"
+    ).select("doc_id", "session", "be_u16")
+
+    q["o5_explode_messages"] = lambda s, d: etl.explode_messages(
+        _read(s, d, "documents").filter(F.col("doc_id") < 100),
+        "text", "doc_id")
+
+    q["o6_sequence_rewrite"] = lambda s, d: etl.sequence_rewrite(
+        _read(s, d, "events").select("event_id"), "event_id")
+
+    q["o7_type_dispatch"] = lambda s, d: etl.type_dispatch(
+        _read(s, d, "events"), "event_type", "value",
+        ["click", "view", "purchase", "signup", "error"]
+    ).select("event_id", "click_value", "view_value", "purchase_value",
+             "signup_value", "error_value")
+
+    q["o8_field_projection"] = lambda s, d: _read(s, d, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"))
+
+    q["o9_field_decoders"] = lambda s, d: etl.field_decoders(
+        _read(s, d, "documents"), "text"
+    ).select("doc_id", "stock", "be_u16", "be_u32", "u48_fold")
+
+    q["o10_wide_record_assembly"] = lambda s, d: _read(s, d, "events").select(
+        "event_id",
+        F.col("event_type").alias("message_type"),
+        F.when(F.col("event_type") == "click", F.col("user_id"))
+         .otherwise(F.lit(None).cast("long")).alias("click_user"),
+        F.lit(None).cast("int").alias("locate_code"),
+        F.lit(None).cast("string").alias("mpid"))
+
+    q["o14_csv_sink"] = lambda s, d: etl.csv_sink_format(
+        _read(s, d, "events").select("event_id", "event_type", "user_id"),
+        ["event_id", "event_type", "user_id"])
+
+    # ---------------- general query surface (SURVEY §2.2 engine needs)
+    q["tpch_q1_pricing_summary"] = lambda s, d: (
+        _read(s, d, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+              .alias("sum_qty"),
+             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+              .alias("sum_base_price"),
+             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,6)")).alias("sum_disc_price"),
+             F.count(F.lit(1)).alias("count_order"))
+        .select("l_returnflag", "l_linestatus",
+                F.col("sum_qty").cast("double").alias("sum_qty"),
+                F.col("sum_base_price").cast("double").alias("sum_base_price"),
+                F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+                "count_order"))
+
+    def _topk(s, d):
+        from pyspark.sql import Window
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").desc(), F.col("event_id").asc())
+        return (_read(s, d, "events")
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 3)
+                .select("event_type", "rk", "event_id", "value"))
+    q["topk_per_group"] = _topk
+
+    q["broadcast_join_enrich"] = lambda s, d: (
+        _read(s, d, "orders")
+        .join(F.broadcast(_read(s, d, "customer")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").alias("total")))
+
+    def _sessionize(s, d):
+        from pyspark.sql import Window
+        w = Window.partitionBy("user_id").orderBy("ts")
+        gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+        new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+            .otherwise(0)
+        return (_read(s, d, "events")
+                .withColumn("new_sess", new_sess)
+                .groupBy("user_id")
+                .agg(F.sum("new_sess").alias("n_sessions"),
+                     F.count(F.lit(1)).alias("n_events")))
+    q["sessionize"] = _sessionize
+
+    # ---------------- training-data pipeline: dedup family
+    q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
+        _read(s, d, "documents"))
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _read(s, d, "documents"), threshold=0.5, n=3)
+    q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _read(s, d, "documents"), threshold=0.6)          # rows-only check
+    q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
+        _read(s, d, "documents"), max_hamming=3)          # rows-only check
+
+    # ---------------- text analysis
+    q["text_profile"] = lambda s, d: text.text_profile(
+        _read(s, d, "documents"))
+
+    # ---------------- similarity search
+    q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
+        _read(s, d, "embeddings"),
+        _read(s, d, "embeddings").filter(F.col("vec_id") < 10), k=5)
+    q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_pairs(
+        _read(s, d, "embeddings"), threshold=0.25)
+    q["ann_lsh_candidates"] = lambda s, d: similarity.lsh_cosine_candidates(
+        _read(s, d, "embeddings"), threshold=0.2)         # rows-only check
+    q["ann_ivf_assign"] = lambda s, d: similarity.ivf_assign(
+        _read(s, d, "embeddings"))                        # rows-only check
+
+    # ---------------- multimodal plumbing
+    q["mm_metadata"] = lambda s, d: _read(s, d, "documents").select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("media_bytes"))
+    q["mm_media_features"] = lambda s, d: multimodal.media_features(
+        multimodal.fake_media_df(_read(s, d, "documents")))   # rows-only
+    q["mm_resize"] = lambda s, d: multimodal.resize_media(
+        multimodal.fake_media_df(_read(s, d, "documents"))
+    ).select("id", F.octet_length("media").alias("media_bytes"))  # rows-only
+
+    # ---------------- streaming
+    def _stream(s, d):
+        from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+            run_stream_once,
+        )
+        schema = _read(s, d, "events").schema
+        out = run_stream_once(s, os.path.join(d, "events.parquet"), schema,
+                              query_name=f"owr_stream_{abs(hash(d)) % 99999}")
+        return out.select(F.unix_micros("w_start").alias("w_start_us"),
+                          "event_type", "n",
+                          F.col("total_value").cast("decimal(18,2)")
+                           .cast("double").alias("total_value"))
+    q["streaming_tumbling_counts"] = _stream
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — keys mirror queries(); rows-only ops omitted
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    t6 = TRUNC6
+    sql: dict[str, str] = {}
+
+    sql["o11_encode_roundtrip"] = \
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    sql["codec_dict_roundtrip"] = "SELECT doc_id, lang, source FROM documents"
+    sql["codec_rle_roundtrip"] = "SELECT event_id, event_type FROM events"
+    sql["codec_fsst_roundtrip"] = "SELECT doc_id, text FROM documents"
+    sql["codec_delta_roundtrip"] = \
+        "SELECT event_id, epoch_us(ts) AS ts FROM events"
+    sql["codec_bitpack_roundtrip"] = "SELECT event_id, user_id FROM events"
+    sql["codec_for_roundtrip"] = "SELECT o_orderkey, o_custkey FROM orders"
+    sql["codec_plain_roundtrip"] = "SELECT event_id, value, props FROM events"
+
+    sql["o2_protocol_filter"] = (
+        "SELECT event_id, user_id, value FROM events "
+        "WHERE event_type = 'click'")
+    sql["o3_dense_row_index"] = (
+        "SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS pcap_index"
+        " FROM events")
+    sql["o4_envelope_projection"] = (
+        "SELECT doc_id, substr(text, 1, 10) AS session, "
+        "CAST(ascii(substr(text,1,1)) * 256 + ascii(substr(text,2,1)) AS INT)"
+        " AS be_u16 FROM documents")
+    sql["o5_explode_messages"] = (
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents WHERE doc_id < 100")
+    sql["o6_sequence_rewrite"] = (
+        "SELECT event_id, "
+        "CAST((event_id % 4) + 1 AS INT) AS message_index, "
+        "CAST((event_id // 4) * 7 + 1 + (event_id % 4) + 1 AS BIGINT) "
+        "AS message_sequence FROM events")
+    sql["o7_type_dispatch"] = (
+        "SELECT event_id, "
+        "CASE WHEN event_type='click' THEN value END AS click_value, "
+        "CASE WHEN event_type='view' THEN value END AS view_value, "
+        "CASE WHEN event_type='purchase' THEN value END AS purchase_value, "
+        "CASE WHEN event_type='signup' THEN value END AS signup_value, "
+        "CASE WHEN event_type='error' THEN value END AS error_value "
+        "FROM events")
+    sql["o8_field_projection"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) "
+        "AS prop_k FROM events")
+    a = lambda i: f"ascii(substr(text,{i},1))::BIGINT"  # noqa: E731
+    sql["o9_field_decoders"] = (
+        "SELECT doc_id, "
+        "string_split(substr(text, 1, 8), ' ')[1] AS stock, "
+        f"CAST({a(1)}*256 + {a(2)} AS INT) AS be_u16, "
+        f"(({a(1)}*256 + {a(2)})*256 + {a(3)})*256 + {a(4)} AS be_u32, "
+        f"(((({a(1)}*256 + {a(2)})*256 + {a(3)})*256 + {a(4)})*256 + "
+        f"{a(5)})*256 + {a(6)} AS u48_fold "
+        "FROM documents")
+    sql["o10_wide_record_assembly"] = (
+        "SELECT event_id, event_type AS message_type, "
+        "CASE WHEN event_type='click' THEN user_id END AS click_user, "
+        "CAST(NULL AS INT) AS locate_code, CAST(NULL AS VARCHAR) AS mpid "
+        "FROM events")
+    sql["o14_csv_sink"] = (
+        "SELECT concat_ws(',', event_id, event_type, user_id) || ',' "
+        "AS csv_row FROM events")
+
+    sql["tpch_q1_pricing_summary"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) "
+        "AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+        " AS DOUBLE) AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus")
+    sql["topk_per_group"] = (
+        "SELECT event_type, rk, event_id, value FROM ("
+        "SELECT event_type, event_id, value, ROW_NUMBER() OVER ("
+        "PARTITION BY event_type ORDER BY value DESC, event_id) AS rk "
+        "FROM events) WHERE rk <= 3")
+    sql["broadcast_join_enrich"] = (
+        "SELECT c_nationkey, count(*) AS n_orders, "
+        "CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_nationkey")
+    sql["sessionize"] = (
+        "WITH g AS (SELECT user_id, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts)) > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess "
+        "FROM events) "
+        "SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events "
+        "FROM g GROUP BY user_id")
+
+    sql["dedup_exact_groups"] = (
+        "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups "
+        "FROM documents GROUP BY md5(text)")
+    sql["dedup_ngram_jaccard"] = (
+        "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents), "
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s "
+        "FROM words, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b, "
+        f"{t6.format('i * 1.0 / (sa.sz + sb.sz - i)')} AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5")
+
+    _occ = lambda tok: (f"CAST((length(text) - length(replace(text, "  # noqa
+                        f"'{tok}', ''))) / {len(tok)} AS BIGINT)")
+    mk = {lang: " + ".join(_occ(f" {m} ") for m in toks)
+          for lang, toks in
+          [("en", ["the", "and", "of"]), ("de", ["der", "und", "die"]),
+           ("fr", ["le", "et", "les"]), ("es", ["el", "de", "los"])]}
+    stop = " + ".join(_occ(f" {w} ")
+                      for w in ["the", "a", "of", "and", "to", "in", "is",
+                                "on", "for"])
+    ws_tokens = r"len(regexp_split_to_array(text, '\s+'))"
+    bpe_tokens = (r"len(regexp_extract_all(text, "
+                  r"'[A-Za-z0-9]+|[^A-Za-z0-9\s]'))")
+    punct = (r"length(text) - length(regexp_replace(text, "
+             r"'[\.,;:!\?\"''()\[\]{}]', '', 'g'))")
+    punct_ratio = f"floor(({punct}) * 1.0 / greatest(length(text), 1) * 1000000) / 1000000"
+    lang_case = (
+        f"CASE WHEN ({mk['en']}) > 0 AND ({mk['en']}) >= ({mk['de']}) AND "
+        f"({mk['en']}) >= ({mk['fr']}) AND ({mk['en']}) >= ({mk['es']}) "
+        "THEN 'en' "
+        f"WHEN ({mk['de']}) > 0 AND ({mk['de']}) >= ({mk['fr']}) AND "
+        f"({mk['de']}) >= ({mk['es']}) AND ({mk['de']}) >= ({mk['en']}) "
+        "THEN 'de' "
+        f"WHEN ({mk['fr']}) > 0 AND ({mk['fr']}) >= ({mk['es']}) AND "
+        f"({mk['fr']}) >= ({mk['en']}) AND ({mk['fr']}) >= ({mk['de']}) "
+        "THEN 'fr' "
+        f"WHEN ({mk['es']}) > 0 AND ({mk['es']}) >= ({mk['en']}) AND "
+        f"({mk['es']}) >= ({mk['de']}) AND ({mk['es']}) >= ({mk['fr']}) "
+        "THEN 'es' ELSE 'und' END")
+    sql["text_profile"] = (
+        "SELECT doc_id, length(text) AS n_chars, "
+        f"CAST({ws_tokens} AS INT) AS n_tokens_ws, "
+        f"CAST({bpe_tokens} AS INT) AS n_tokens_bpe, "
+        f"{punct_ratio} AS punct_ratio, "
+        f"floor(({stop}) * 1.0 / greatest({ws_tokens}, 1) * 1000000) / 1000000"
+        " AS stopword_ratio, "
+        "floor(((CASE WHEN length(text) < 100 THEN length(text) / 100.0 "
+        "WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) + "
+        f"(CASE WHEN length(text) * 1.0 / greatest({ws_tokens}, 1) "
+        "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) + "
+        f"(CASE WHEN {punct_ratio} > 0.1 THEN 0.3 ELSE 1.0 END)) / 3.0 "
+        "* 1000000) / 1000000 AS quality, "
+        f"{lang_case} AS lang_pred, "
+        r"md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp "
+        "FROM documents")
+
+    cos = ("list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /"
+           " (sqrt(list_dot_product(q.embedding::DOUBLE[], "
+           "q.embedding::DOUBLE[])) * sqrt(list_dot_product("
+           "c.embedding::DOUBLE[], c.embedding::DOUBLE[])))")
+    sql["ann_cosine_topk"] = (
+        "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS "
+        f"neighbor_id, floor(({cos}) * 10000) / 10000 AS cosine "
+        "FROM embeddings q, embeddings c "
+        "WHERE q.vec_id < 10 AND q.vec_id != c.vec_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk "
+        "FROM scored) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk "
+        "FROM ranked WHERE rk <= 5")
+    cos_ab = cos.replace("q.embedding", "a.embedding").replace(
+        "c.embedding", "b.embedding")
+    sql["dedup_embedding_cosine"] = (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"floor(({cos_ab}) * 10000) / 10000 AS cosine "
+        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        f"AND floor(({cos_ab}) * 10000) / 10000 >= 0.25")
+
+    sql["mm_metadata"] = (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "
+        "AS media_bytes FROM documents")
+
+    sql["streaming_tumbling_counts"] = (
+        "SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_us,"
+        " event_type, count(*) AS n, "
+        "CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) "
+        "AS total_value "
+        "FROM events GROUP BY 1, 2")
+
+    return sql

@@ -1,0 +1,286 @@
+"""Deduplication operators for web-scale training corpora.
+
+Four tiers, from cheapest to fuzziest, all shuffle-aware:
+
+- exact:        hash-groupBy on a text fingerprint (one shuffle, map-side
+                partial agg; the fingerprint keeps the shuffle narrow — hashes
+                travel, not documents)
+- ngram-jaccard: exact n-gram-set Jaccard via a distinct-shingle self-join —
+                the candidate join hits only docs sharing a shingle; a
+                document-frequency cap drops stop-shingles so the hot keys
+                that would quadratically blow up the join never shuffle
+- minhash-LSH:  vectorized MinHash signatures (numpy, mapInArrow) banded into
+                buckets; candidate pairs emerge from a bucket groupBy —
+                the classic sub-quadratic near-dup path at 10^12 docs
+- simhash:      64-bit SimHash + banded Hamming blocking
+
+All kernels are whole-array numpy (north rule); everything else is DataFrame
+ops Catalyst can push around.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+# --------------------------------------------------------------- exact
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (fingerprint, keep_id=min id, n_dups)."""
+    return (df
+            .groupBy(F.md5(F.col(text_col)).alias("fp"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct text value."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per document, via JVM-side array functions."""
+    words = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(grams)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        max_doc_freq: int | None = 1000) -> DataFrame:
+    """Exact n-gram-set Jaccard for every pair sharing >=1 (non-stop) shingle.
+
+    Columns: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    max_doc_freq drops shingles appearing in more docs (stop-shingle cap —
+    the skew guard that keeps the self-join sub-quadratic at corpus scale).
+    """
+    sh = _shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+                 .filter(F.col("df") > max_doc_freq).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (a.join(b, "shingle")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")))
+
+
+# ----------------------------------------------------------- minhash LSH
+
+def _minhash_kernel(n_perms: int, n_shingle: int, seed: int):
+    """mapInArrow kernel: text column -> (id, signature fixed list) batches.
+
+    MinHash of character n-gram hashes; permutations are the classic
+    (a*x+b) mod p family with splitmix-derived a,b. Whole-batch numpy:
+    shingle hashing is a strided polynomial over the byte corpus, the
+    min-reduction a segmented ufunc.reduceat.
+    """
+    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+    P = np.uint64((1 << 61) - 1)
+    ab = splitmix64(np.arange(2 * n_perms, dtype=np.uint64) + np.uint64(seed * 7919))
+    A = (ab[:n_perms] % (P - np.uint64(1))) + np.uint64(1)
+    B = ab[n_perms:] % P
+
+    def sig_for_batch(ids: np.ndarray, lengths: np.ndarray, corpus: np.ndarray):
+        n_docs = len(ids)
+        sigs = np.full((n_docs, n_perms), P, dtype=np.uint64)
+        if len(corpus) == 0:
+            return sigs
+        # rolling polynomial hash of every n_shingle-byte window (vectorized)
+        h = np.zeros(max(len(corpus) - n_shingle + 1, 0), dtype=np.uint64)
+        if len(h) == 0:
+            return sigs
+        base = np.uint64(1099511628211)
+        acc = np.zeros(len(h), dtype=np.uint64)
+        for j in range(n_shingle):
+            acc = acc * base + corpus[j:j + len(h)].astype(np.uint64)
+        h = splitmix64(acc)
+        # window -> doc mapping; windows spanning doc boundaries masked out
+        starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]
+        doc_of = np.repeat(np.arange(n_docs), lengths)[:len(h)]
+        valid_len = np.repeat(np.maximum(lengths - n_shingle + 1, 0), lengths)[:len(h)]
+        pos_in = np.arange(len(h)) - np.repeat(starts, lengths)[:len(h)]
+        keep = pos_in < valid_len
+        h, doc_of = h[keep], doc_of[keep]
+        if len(h) == 0:
+            return sigs
+        # per-perm min over each doc's window hashes
+        order = np.argsort(doc_of, kind="stable")
+        doc_sorted, h_sorted = doc_of[order], h[order]
+        seg_starts = np.flatnonzero(np.concatenate(
+            ([True], doc_sorted[1:] != doc_sorted[:-1])))
+        seg_docs = doc_sorted[seg_starts]
+        for k in range(n_perms):
+            hk = (A[k] * h_sorted + B[k]) % P
+            mins = np.minimum.reduceat(hk, seg_starts)
+            sigs[seg_docs, k] = mins
+        return sigs
+
+    return sig_for_batch
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_perms: int = 64,
+                       n_shingle: int = 5, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature per document."""
+    from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
+    kernel = _minhash_kernel(n_perms, n_shingle, seed)
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def task(batches):
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            txt = b.column("t")
+            lengths, corpus = bytes_block(txt.cast(pa.large_binary()))
+            sigs = kernel(ids, lengths, np.frombuffer(corpus, dtype=np.uint8))
+            flat = pa.array(sigs.view(np.int64).ravel(), type=pa.int64())
+            sig_arr = pa.FixedSizeListArray.from_arrays(flat, sigs.shape[1]) \
+                .cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()), sig_arr],
+                names=["id", "sig"])
+
+    return src.mapInArrow(task, "id long, sig array<long>")
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n_perms: int = 64,
+                      bands: int = 16, n_shingle: int = 5,
+                      threshold: float = 0.6, seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + signature-similarity filter.
+
+    Sub-quadratic: pairs only form inside (band, band-hash) buckets. Returns
+    (id_a, id_b, est_jaccard) with est_jaccard = fraction of matching minhash
+    lanes >= threshold.
+    """
+    rows_per_band = n_perms // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_perms, n_shingle, seed)
+    sigs = sigs.withColumn("__sig_hash", F.xxhash64(F.col("sig")))
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(F.slice("sig", b * rows_per_band + 1,
+                                    rows_per_band)).alias("bh")).alias(f"b{b}")
+        for b in range(bands)]
+    buckets = (sigs.select("id", "sig", F.explode(F.array(*band_cols)).alias("bk"))
+               .select("id", "sig", F.col("bk.band").alias("band"),
+                       F.col("bk.bh").alias("bh")))
+    l = buckets.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
+                       "band", "bh")
+    r = buckets.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),
+                       "band", "bh")
+    cand = (l.join(r, ["band", "bh"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(n_perms)
+    return (cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")))
+
+
+# --------------------------------------------------------------- simhash
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over word hashes (numpy kernel)."""
+    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+
+    def task(batches):
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            texts = b.column("t")
+            # word tokens via arrow split, then flat hash per token
+            split = pa.compute.split_pattern(texts, " ")
+            flat = split.flatten()
+            counts = pa.compute.list_value_length(split).to_numpy()
+            from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
+            lens, corpus = bytes_block(flat.cast(pa.large_binary()))
+            cb = np.frombuffer(corpus, dtype=np.uint8)
+            # polynomial hash per token (segmented horner via reduceat-free
+            # approach: hash = splitmix(sum of byte*pos-mix) is NOT a real
+            # rolling hash; use cumulative powers trick instead)
+            tok_hash = _token_hashes(cb, lens, seed)
+            doc_of = np.repeat(np.arange(len(ids)), counts)
+            # +/-1 vote per bit, vectorized: unpack token bits
+            bits = ((tok_hash[:, None] >> np.arange(64, dtype=np.uint64)) &
+                    np.uint64(1)).astype(np.int32) * 2 - 1
+            votes = np.zeros((len(ids), 64), dtype=np.int64)
+            np.add.at(votes, doc_of, bits)
+            sim = (votes > 0).astype(np.uint64)
+            out = np.zeros(len(ids), dtype=np.uint64)
+            for bit in range(64):
+                out |= sim[:, bit] << np.uint64(bit)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(out.view(np.int64), type=pa.int64())],
+                names=["id", "simhash"])
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    return src.mapInArrow(task, "id long, simhash long")
+
+
+def _token_hashes(corpus: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
+    """Order-sensitive 64-bit hash per token, whole-array (no per-token loop
+    beyond the max-token-length dimension)."""
+    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+    n = len(lens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    acc = np.full(n, np.uint64(seed * 1000003 + 1), dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    maxlen = int(lens.max()) if n else 0
+    base = np.uint64(1099511628211)
+    for j in range(maxlen):
+        active = lens > j
+        acc[active] = acc[active] * base + corpus[starts[active] + j]
+    return splitmix64(acc)
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  seed: int = 42) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming via 4-band
+    blocking (pigeonhole: <=3 differing bits -> one 16-bit band matches)."""
+    sigs = simhash_signatures(df, text_col, id_col, seed)
+    bands = [F.struct(F.lit(b).alias("band"),
+                      F.shiftrightunsigned("simhash", b * 16).bitwiseAND(
+                          F.lit(0xFFFF)).alias("bh")).alias(f"b{b}")
+             for b in range(4)]
+    bk = (sigs.select("id", "simhash", F.explode(F.array(*bands)).alias("bk"))
+          .select("id", "simhash", "bk.band", "bk.bh"))
+    l = bk.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"),
+                  "band", "bh")
+    r = bk.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"),
+                  "band", "bh")
+    pairs = (l.join(r, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (pairs.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -64,7 +64,8 @@ class EncodeResult:
 
 
 def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
-                 plan_cache: dict, run_id: str, tag: str) -> list[dict]:
+                 plan_cache: dict, run_id: str, tag: str,
+                 overrides: dict | None = None) -> list[dict]:
     """Encode every column of one chunk, write the file, return manifest rows."""
     fname = f"chunk-p{pid:05d}-s{seq:04d}-{tag}.owrc"
     rows: list[dict] = []
@@ -79,7 +80,8 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
         # reused after (columns are homogeneous within a work unit)
         key = (pid, name)
         if key not in plan_cache:
-            plan_cache[key] = choose_codec(arr).codec
+            plan_cache[key] = (overrides or {}).get(name) or \
+                choose_codec(arr).codec
         enc = encode_column(arr, plan_cache[key])
         digest = hashlib.sha256(enc.payload).hexdigest()
         rows.append({
@@ -106,7 +108,7 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
 
 
 def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
-                         chunk_bytes: int):
+                         chunk_bytes: int, overrides: dict | None = None):
     """Build the mapInArrow function. Accumulates per-pid batch slices and
     flushes a chunk when either budget trips; all slicing is zero-copy."""
 
@@ -126,7 +128,8 @@ def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
                 return
             tbl = pa.Table.from_batches(acc[pid]).drop_columns([PID_COL])
             out_rows.extend(_write_chunk(chunks_dir, pid, seq.get(pid, 0),
-                                         tbl, plan_cache, run_id, tag))
+                                         tbl, plan_cache, run_id, tag,
+                                         overrides))
             seq[pid] = seq.get(pid, 0) + 1
             acc[pid], acc_rows[pid], acc_bytes[pid] = [], 0, 0
 
@@ -181,6 +184,7 @@ def encode_dataframe(
     chunk_bytes: int = 64 << 20,
     resume: bool = True,
     run_id: str | None = None,
+    codec_overrides: dict | None = None,
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
 
@@ -210,7 +214,7 @@ def encode_dataframe(
                 .sortWithinPartitions(PID_COL))
 
     task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
-                                chunk_bytes)
+                                chunk_bytes, codec_overrides)
     manifest_df = work.mapInArrow(task, _manifest_ddl())
     manifest_rows = manifest_df.toArrow().cast(MANIFEST_SCHEMA)
     if manifest_rows.num_rows == 0 and not committed:

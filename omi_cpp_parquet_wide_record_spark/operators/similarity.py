@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k, expressed entirely in JVM-side
+  column functions (zip_with + aggregate + window) — the correctness
+  baseline. The query side is broadcast; the corpus side streams, so the
+  plan is a broadcast nested-loop that scales linearly in corpus size.
+- lsh_cosine_*: random-hyperplane (SimHash-for-angles) bucketing, hyperplane
+  matrix derived from splitmix64 so it is deterministic and identical on
+  every executor without shipping state. Buckets keep candidate generation
+  sub-quadratic at 10^12-vector scale; exact cosine re-ranks candidates.
+- ivf_topk: IVF-style coarse quantizer — k-means-lite centroids sampled
+  deterministically, vectors assigned to nearest centroid (numpy matmul in
+  mapInArrow); queries probe the nearest `nprobe` centroids only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def trunc(col, digits: int):
+    """floor-truncation: deterministic across engines (round() half-up vs
+    banker's differs between Spark and DuckDB; floor does not)."""
+    m = 10 ** digits
+    return F.floor(col * m) / m
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int = 4) -> DataFrame:
+    """Exact top-k: (query_id, neighbor_id, cosine), self-match excluded.
+
+    queries is expected small (it is broadcast); corpus streams through the
+    executors once — the scalable brute-force shape.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", trunc(_cosine(F.col("qv"),
+                                                   F.col("cv")), round_to)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rk"))
+
+
+def cosine_pairs(df: DataFrame, threshold: float = 0.9,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_to: int = 4) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a<b) with cosine >= threshold.
+    Exact O(n^2) form — the oracle baseline; use LSH for the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    return (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", trunc(_cosine(F.col("va"),
+                                                 F.col("vb")), round_to))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+# ------------------------------------------------- LSH (random hyperplane)
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic gaussian-ish hyperplanes from splitmix64 lanes
+    (sum of 4 uniforms, CLT-normalized) — identical on every executor."""
+    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+    raw = splitmix64(np.arange(dim * n_planes * 4, dtype=np.uint64)
+                     + np.uint64(seed * 2654435761))
+    u = raw.astype(np.float64) / 2.0**64 - 0.5
+    return u.reshape(n_planes, dim, 4).sum(axis=2)
+
+
+def lsh_bucket_signatures(df: DataFrame, n_planes: int = 16,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42) -> DataFrame:
+    """(id, bucket: long) — sign pattern of hyperplane projections.
+    numpy matmul per Arrow batch; zero per-row Python."""
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    state = {"planes": None}
+
+    def task(batches):
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            lst = b.column("v")
+            flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(ids)
+            if n == 0:
+                continue
+            dim = len(flat) // n
+            if state["planes"] is None or state["planes"].shape[1] != dim:
+                state["planes"] = _hyperplanes(dim, n_planes, seed)
+            proj = flat.reshape(n, dim) @ state["planes"].T   # (n, planes)
+            bits = (proj > 0).astype(np.uint64)
+            bucket = np.zeros(n, dtype=np.uint64)
+            for j in range(n_planes):
+                bucket |= bits[:, j] << np.uint64(j)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(bucket.view(np.int64), type=pa.int64())],
+                names=["id", "bucket"])
+
+    return src.mapInArrow(task, "id long, bucket long")
+
+
+def lsh_cosine_candidates(df: DataFrame, n_planes: int = 12, bands: int = 3,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.8, seed: int = 42) -> DataFrame:
+    """Near-neighbor pairs: banded hyperplane buckets -> candidates ->
+    exact cosine re-rank >= threshold. Sub-quadratic candidate generation."""
+    width = n_planes // bands
+    sigs = lsh_bucket_signatures(df, n_planes, id_col, vec_col, seed)
+    band_cols = [F.struct(
+        F.lit(b).alias("band"),
+        F.shiftrightunsigned("bucket", b * width).bitwiseAND(
+            F.lit((1 << width) - 1)).alias("bh")).alias(f"b{b}")
+        for b in range(bands)]
+    bk = (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
+          .select("id", "bk.band", "bk.bh"))
+    l = bk.select(F.col("id").alias("id_a"), "band", "bh")
+    r = bk.select(F.col("id").alias("id_b"), "band", "bh")
+    cand = (l.join(r, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).cast("array<double>").alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).cast("array<double>").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn("cosine", trunc(_cosine(F.col("va"),
+                                                 F.col("vb")), 4))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+# --------------------------------------------------------------- IVF-lite
+
+def ivf_assign(df: DataFrame, n_centroids: int = 16,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42) -> DataFrame:
+    """(id, centroid) — nearest of n deterministic sample centroids.
+    The coarse-quantizer half of an IVF index: at scale, vectors are
+    repartitioned by centroid so a query probes only nprobe partitions."""
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def task(batches):
+        cents = None
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            lst = b.column("v")
+            flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(ids)
+            if n == 0:
+                continue
+            dim = len(flat) // n
+            if cents is None:
+                cents = _hyperplanes(dim, n_centroids, seed + 1)
+                cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+            x = flat.reshape(n, dim)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            assign = (xn @ cents.T).argmax(axis=1).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(assign, type=pa.int32())],
+                names=["id", "centroid"])
+
+    return src.mapInArrow(task, "id long, centroid int")

@@ -43,6 +43,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # read parquet timestamps as TIMESTAMP (session-UTC), not NTZ —
+        # keeps unix_micros/watermarks working and matches the DuckDB oracle
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,73 @@
+"""Structured Streaming surface of the engine.
+
+The reference's pcap loop (ref NQ:3792-3808) is a batch file iterator — it
+has no streaming constructs (SURVEY.md §2.2). The live-capture analogue in
+Spark is Structured Streaming: a file/kafka source feeding the same encode
+kernels through foreachBatch (exactly-once via the chunk-store commit
+protocol: each micro-batch is a run; partition ids already dedupe replays),
+plus watermarked windowed aggregates for feed monitoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts",
+                    key_col: str = "event_type",
+                    window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts — the monitoring aggregate."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("w_start"), key_col, "n",
+                    F.round("total_value", 4).alias("total_value")))
+
+
+def run_stream_once(spark: SparkSession, src_path: str, schema,
+                    query_name: str = "owr_stream") -> DataFrame:
+    """Drive a parquet-source stream to completion synchronously (memory
+    sink) and return the result as a batch DataFrame. Local smoke harness;
+    a real deployment points the same plan at kafka + a durable sink."""
+    import os
+    import tempfile
+    if os.path.isfile(src_path):
+        # parquet file source needs a directory; link the file into one
+        d = tempfile.mkdtemp(prefix="owr_stream_src_")
+        os.symlink(src_path, os.path.join(d, os.path.basename(src_path)))
+        src_path = d
+    events = (spark.readStream.schema(schema).format("parquet")
+              .option("path", src_path).load())
+    agg = tumbling_counts(events)
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
+
+
+def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
+                  partition_by: list[str] | None = None,
+                  salt_key: str | None = None, num_pids: int = 32,
+                  query_name: str = "owr_stream_encode"):
+    """Streaming encode: every micro-batch flows through encode_dataframe
+    via foreachBatch; the snapshot commit per batch gives exactly-once
+    output (replayed batches hit the resume anti-filter)."""
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    src = (spark.readStream.schema(schema).format("parquet")
+           .option("path", src_path).load())
+
+    def sink(batch_df: DataFrame, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        encode_dataframe(batch_df, out_dir, partition_by=partition_by,
+                         salt_key=salt_key, num_pids=num_pids,
+                         run_id=f"epoch-{epoch_id}")
+
+    return (src.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True).queryName(query_name).start())
