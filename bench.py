@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Engine benchmark. Prints ONE JSON line:
+
+    {"metric": "e2e_bench_seconds", "value": <total sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <sf>,
+     "encode": {"rows", "bytes_in", "bytes_out", "ratio", "gbps"},
+     "golden": {"bytes", "beats_reference_size"}}
+
+Headline work:
+  - encode_web / decode_web: the engine pipeline over the deterministic
+    synthetic web corpus (FIXTURES.md F1; BASELINE.json input_hint shape) —
+    encode GB/s and compression ratio vs the reference-config golden parquet
+  - a representative slice of the oracle-checked query surface at
+    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+Environment: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_ROWS
+(web-corpus rows, default 40000 ~= 200 MB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 40000))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else None
+
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.session import get_spark
+
+    spark = get_spark("owr-bench", cores=cpus)
+    timings: dict[str, float] = {}
+    t_all = time.time()
+
+    # ---------------- engine headline: encode + decode the web corpus
+    corpus = FX.web_pages_df(spark, rows, partitions=cpus * 2)
+    corpus = corpus.persist()
+    n = corpus.count()  # materialize so encode timing excludes generation
+    store_dir = f"/tmp/owr_bench_store_{rows}"
+    shutil.rmtree(store_dir, ignore_errors=True)
+
+    t0 = time.time()
+    res = encode_dataframe(corpus, store_dir, partition_by=["lang"],
+                           salt_key="url", num_pids=cpus * 4, salt=8)
+    timings["encode_web"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    decoded_rows = decode_store(spark, store_dir).count()
+    timings["decode_web"] = round(time.time() - t0, 3)
+    assert decoded_rows == n == res.rows, (decoded_rows, n, res.rows)
+
+    encode_stats = {
+        "rows": res.rows,
+        "bytes_in": res.bytes_in,
+        "bytes_out": res.bytes_out,
+        "ratio": round(res.ratio, 3),
+        "gbps": round(res.bytes_in / timings["encode_web"] / 1e9, 4),
+        "decode_gbps": round(res.bytes_in / timings["decode_web"] / 1e9, 4),
+    }
+
+    # golden size baseline: reference writer config on the same slice
+    golden_path = f"/tmp/owr_bench_golden_{rows}.parquet"
+    if not os.path.exists(golden_path):
+        FX.write_golden_parquet(FX.web_pages_table(rows), golden_path)
+    golden_bytes = os.path.getsize(golden_path)
+    chunks_dir = os.path.join(store_dir, "chunks")
+    chunk_bytes = sum(os.path.getsize(os.path.join(chunks_dir, f))
+                      for f in os.listdir(chunks_dir))
+    golden = {"bytes": golden_bytes, "chunk_bytes": chunk_bytes,
+              "beats_reference_size": bool(chunk_bytes <= golden_bytes)}
+    corpus.unpersist()
+
+    # ---------------- oracle-checked query surface at the sf slice
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+    bench_queries = [
+        "tpch_q1_pricing_summary", "topk_per_group", "broadcast_join_enrich",
+        "sessionize", "o3_dense_row_index", "o7_type_dispatch",
+        "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "text_profile", "ann_cosine_topk",
+        "ann_lsh_candidates", "streaming_tumbling_counts",
+        "codec_fsst_roundtrip", "codec_delta_roundtrip",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # keep the bench alive; record the failure
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "e2e_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "web_rows": rows,
+        "encode": encode_stats,
+        "golden": golden,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

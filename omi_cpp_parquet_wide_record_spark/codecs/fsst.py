@@ -40,27 +40,35 @@ MAX_SYMBOL_LEN = 8        # FSST paper cap
 _KSPACE = 512             # token ids < 512 always (256 literals + <=254 learned)
 
 
+_DEAD = _KSPACE * _KSPACE  # sentinel pair key for row-boundary positions
+
+
 def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
                         rounds: int, per_round: int, min_count: int
-                        ) -> tuple[np.ndarray, list[bytes]]:
-    """Merge frequent adjacent pairs into new symbols; returns final token
-    stream (ids < 256+L) and the expansion bytes for learned ids 256+."""
+                        ) -> tuple[np.ndarray, list[tuple[int, int]]]:
+    """Merge frequent adjacent pairs into new symbols; returns the final
+    token stream (ids < 256+L) and the (left, right) child pair per learned
+    id 256+. Every pass is whole-array; the stream shrinks as merges land."""
     t = corpus.astype(np.int16)
-    start = is_start.copy()
-    expansions: list[bytes] = []          # learned ids 256, 257, ...
-    exp_len = np.ones(_KSPACE, dtype=np.int32)  # byte length per token id
+    start = is_start
+    pairs: list[tuple[int, int]] = []      # learned ids 256, 257, ...
+    exp_len = np.ones(_KSPACE, dtype=np.int32)
     next_id = 256
+    idx_full = np.arange(len(t), dtype=np.int32)  # reused across rounds
     for _ in range(rounds):
         if next_id - 256 >= MAX_CODES - 1 or len(t) < 2:
             break
-        k = t[:-1].astype(np.int32) * _KSPACE + t[1:].astype(np.int32)
-        valid = ~start[1:]
-        counts = np.bincount(k[valid], minlength=_KSPACE * _KSPACE)
-        # candidate pairs: frequent and expansion fits the FSST length cap
+        # pair key = (left << 9) | right, in-place to avoid temporaries
+        k = t[:-1].astype(np.int32)
+        k <<= 9
+        k |= t[1:]
+        k[start[1:]] = _DEAD               # pairs may not span row boundaries
+        counts = np.bincount(k, minlength=_DEAD + 1)
+        counts[_DEAD] = 0
         cand = np.flatnonzero(counts >= min_count)
         if len(cand) == 0:
             break
-        left, right = cand // _KSPACE, cand % _KSPACE
+        left, right = cand >> 9, cand & (_KSPACE - 1)
         fits = (exp_len[left] + exp_len[right]) <= MAX_SYMBOL_LEN
         cand, left, right = cand[fits], left[fits], right[fits]
         if len(cand) == 0:
@@ -68,30 +76,105 @@ def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
         budget = min(per_round, MAX_CODES - 1 - (next_id - 256))
         order = np.argsort(counts[cand])[::-1][:budget]
         cand, left, right = cand[order], left[order], right[order]
-        lut = np.full(_KSPACE * _KSPACE, -1, dtype=np.int16)
+        lut = np.full(_DEAD + 1, -1, dtype=np.int16)
         for key, l_id, r_id in zip(cand.tolist(), left.tolist(), right.tolist()):
             lut[key] = next_id
-            l_exp = expansions[l_id - 256] if l_id >= 256 else bytes([l_id])
-            r_exp = expansions[r_id - 256] if r_id >= 256 else bytes([r_id])
-            expansions.append(l_exp + r_exp)
+            pairs.append((l_id, r_id))
             exp_len[next_id] = exp_len[l_id] + exp_len[r_id]
             next_id += 1
-        # mark positions whose pair is chosen, greedy-left-to-right non-overlap
+        # positions whose pair is chosen; greedy-left-to-right non-overlap
         new_ids = lut[k]
-        marked = (new_ids >= 0) & valid
+        marked = new_ids >= 0
         if not marked.any():
             break
-        run_start = marked & ~np.concatenate(([False], marked[:-1]))
-        anchor = np.where(run_start, np.arange(len(marked)), 0)
+        run_start = marked.copy()
+        run_start[1:] &= ~marked[:-1]
+        pos = idx_full[:len(marked)]
+        anchor = np.where(run_start, pos, 0)
         np.maximum.accumulate(anchor, out=anchor)
-        take = marked & (((np.arange(len(marked)) - anchor) & 1) == 0)
+        take = marked
+        take &= ((pos - anchor) & 1) == 0
         sel = np.flatnonzero(take)
         t[sel] = new_ids[sel]
         keep = np.ones(len(t), dtype=bool)
         keep[sel + 1] = False
         t = t[keep]
         start = start[keep]
-    return t, expansions
+        if len(sel) < len(t) // 100:       # diminishing returns: stop early
+            break
+    return t, pairs
+
+
+def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
+                  ) -> tuple[np.ndarray, list[bytes], np.ndarray]:
+    """Give the 255 output codes to the most frequent *final* tokens
+    (learned or literal alike) and demote the rest.
+
+    A learned symbol without a code cannot be escaped (escape carries one
+    literal byte), so demoted symbols are re-expanded in the stream into
+    their nearest coded/literal descendants — one vectorized splice. This is
+    what keeps high-entropy payloads near 1x instead of 2x: frequent raw
+    bytes win codes over marginal learned symbols.
+
+    Returns (token stream with demoted ids spliced out, code table as
+    expansion bytes per code, code_of lut over token ids)."""
+    n_ids = 256 + len(pairs)
+    alive = set(range(256, n_ids))  # learned ids still eligible for codes
+    while True:
+        freq = np.bincount(t, minlength=n_ids)
+        order = np.argsort(freq, kind="stable")[::-1]
+        coded = [int(i) for i in order[:MAX_CODES] if freq[i] > 0]
+        coded_set = set(coded)
+        demoted = [i for i in alive if i not in coded_set and freq[i] > 0]
+        if not demoted:
+            break
+        alive -= set(demoted)
+        dem_set = set(demoted)
+
+        def expand(tok: int) -> list[int]:
+            if tok < 256 or tok in alive:
+                return [tok]
+            l_id, r_id = pairs[tok - 256]
+            return expand(l_id) + expand(r_id)
+
+        exp_tokens = {d: expand(d) for d in demoted}
+        # one LUT gather for widths; per-symbol work only on the (small)
+        # demoted-occurrence subset — never per-symbol full-stream masks
+        wlut = np.ones(n_ids, dtype=np.int64)
+        for d, seq in exp_tokens.items():
+            wlut[d] = len(seq)
+        widths = wlut[t]
+        ends = np.cumsum(widths)
+        t2 = np.empty(int(ends[-1]) if len(ends) else 0, dtype=np.int16)
+        pos = ends - widths
+        keep_mask = widths == 1
+        t2[pos[keep_mask]] = t[keep_mask]
+        dp = np.flatnonzero(~keep_mask)
+        dp_tok, dp_pos = t[dp], pos[dp]
+        for d, seq in exp_tokens.items():
+            p = dp_pos[dp_tok == d]
+            if len(p):
+                t2[p[:, None] + np.arange(len(seq))] = np.array(seq, np.int16)
+        t = t2
+        # splice shifts freqs; loop until the top-255 is demotion-free
+
+    # expansion bytes per id (for the table)
+    exp_bytes: dict[int, bytes] = {}
+
+    def expansion(tok: int) -> bytes:
+        if tok < 256:
+            return bytes([tok])
+        if tok not in exp_bytes:
+            l_id, r_id = pairs[tok - 256]
+            exp_bytes[tok] = expansion(l_id) + expansion(r_id)
+        return exp_bytes[tok]
+
+    code_of = np.full(n_ids, -1, dtype=np.int16)
+    table: list[bytes] = []
+    for tok in coded:
+        code_of[tok] = len(table)
+        table.append(expansion(tok))
+    return t, table, code_of
 
 
 class FsstCodec(Codec):
@@ -115,24 +198,10 @@ class FsstCodec(Codec):
         np.cumsum(lengths, out=starts[1:])
         is_start[starts[:-1][lengths > 0]] = True
 
-        t, expansions = _train_and_tokenize(
-            corpus, is_start, self.rounds, self.per_round, self.min_count)
-        n_learned = len(expansions)
-
-        # assign output codes: learned symbols first, then frequent literals
-        freq = np.bincount(t, minlength=256 + n_learned)
-        code_of = np.full(256 + max(n_learned, 1), -1, dtype=np.int16)
-        table: list[bytes] = []
-        for i in range(n_learned):
-            code_of[256 + i] = len(table)
-            table.append(expansions[i])
-        lit_slots = MAX_CODES - n_learned
-        lit_order = np.argsort(freq[:256])[::-1]
-        for lit in lit_order[:lit_slots].tolist():
-            if freq[lit] == 0:
-                break
-            code_of[lit] = len(table)
-            table.append(bytes([lit]))
+        min_count = max(self.min_count, len(corpus) >> 15)
+        t, pairs = _train_and_tokenize(
+            corpus, is_start, self.rounds, self.per_round, min_count)
+        t, table, code_of = _assign_codes(t, pairs)
 
         codes = code_of[t]
         w = np.where(codes >= 0, 1, 2).astype(np.int64)
@@ -187,14 +256,21 @@ class FsstCodec(Codec):
         # escaped literals: single-byte copy
         ep = tok_pos[tok_esc]
         out[pos[tok_esc]] = enc[ep + 1]
-        # code tokens: one broadcast write per distinct code (<=255 loops)
+        # code tokens: group positions by code via one sort, then one
+        # broadcast write per distinct code over its contiguous slice
         cp_mask = ~tok_esc
         cp_codes = enc[tok_pos[cp_mask]]
         cp_pos = pos[cp_mask]
-        for c in np.unique(cp_codes).tolist():
-            e = exp_arrs[c]
-            p = cp_pos[cp_codes == c]
-            out[p[:, None] + np.arange(len(e))] = e
+        order = np.argsort(cp_codes, kind="stable")
+        sc, sp = cp_codes[order], cp_pos[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(sc[1:] != sc[:-1]) + 1, [len(sc)]))
+        for gi in range(len(bounds) - 1):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            if lo == hi:
+                continue
+            e = exp_arrs[int(sc[lo])]
+            out[sp[lo:hi, None] + np.arange(len(e))] = e
         assert int(lengths.sum()) == len(out), "fsst decode length mismatch"
         return block_to_array(lengths, out.tobytes(), target)
 

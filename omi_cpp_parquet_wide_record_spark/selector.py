@@ -62,16 +62,29 @@ def candidates_for(arr: pa.Array) -> list[str]:
     return ["plain"]
 
 
+DEFAULT_SAMPLE_BYTES = 256 << 10
+
+
 def sample_array(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS,
-                 seed: int = 42) -> pa.Array:
+                 seed: int = 42,
+                 max_bytes: int = DEFAULT_SAMPLE_BYTES) -> pa.Array:
     """Deterministic sample: a contiguous head slice plus a strided tail.
 
     Contiguity matters — RLE/DELTA gains live in run structure that a random
     shuffle would destroy, so uniform row sampling would systematically
     mis-rank them. Half the budget goes to the head (run structure), half to
-    an even stride across the rest (global value diversity).
+    an even stride across the rest (global value diversity). For bytes-like
+    columns the row budget is additionally capped so trial encodes stay
+    cheap on fat columns (html pages can be KBs per row).
     """
     n = len(arr)
+    if is_bytes_like(arr.type) and n:
+        import pyarrow.compute as pc
+        nn = arr.drop_null() if arr.null_count else arr
+        total = pc.sum(pc.binary_length(nn)).as_py() or 0
+        if total > 0:
+            avg = max(total / max(len(nn), 1), 1.0)
+            max_rows = min(max_rows, max(int(max_bytes / avg), 64))
     if n <= max_rows:
         return arr
     head = max_rows // 2

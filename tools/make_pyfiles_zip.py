@@ -1,0 +1,30 @@
+"""Build dist/owr_spark.zip for spark-submit --py-files (BASELINE.json:
+'ships as a spark-submit --py-files package')."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "omi_cpp_parquet_wide_record_spark"
+
+
+def main() -> str:
+    out_dir = os.path.join(ROOT, "dist")
+    os.makedirs(out_dir, exist_ok=True)
+    out = os.path.join(out_dir, "owr_spark.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(os.path.join(ROOT, PKG)):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, ROOT))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
