@@ -180,7 +180,7 @@ def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
 class FsstCodec(Codec):
     name = "fsst"
 
-    def __init__(self, rounds: int = 8, per_round: int = 48, min_count: int = 8):
+    def __init__(self, rounds: int = 6, per_round: int = 64, min_count: int = 8):
         self.rounds = rounds
         self.per_round = per_round
         self.min_count = min_count

@@ -8,8 +8,8 @@ Spark shape (SURVEY.md §3):
       .withColumn(__pid, pmod(xxhash64(partition/salt cols), num_pids))   # stable work units
       .filter(~__pid.isin(committed))                                     # resume anti-filter
       .repartition(num_pids, __pid)                                       # shuffle boundary #1
-      .sortWithinPartitions(__pid)
-      .mapInArrow(encode_task)                                            # Arrow batches -> numpy kernels
+      .mapInArrow(encode_task)   # batches regrouped by pid columnar-side,
+                                 # Arrow batches -> numpy kernels
       -> manifest rows -> driver commit (snapshot JSON)                   # tiny collect: metadata only
 
 Work-unit ids (__pid) are *content-derived* (xxhash64 of the partition
@@ -137,7 +137,12 @@ def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
             pids = batch.column(PID_COL).to_numpy()
             if len(pids) == 0:
                 continue
-            # batches are sorted by pid (sortWithinPartitions): split at changes
+            # group the batch by pid columnar-side (cheaper than a JVM row
+            # sort of the whole partition), then split at run boundaries
+            if len(pids) > 1 and (pids[1:] != pids[:-1]).any():
+                order = np.argsort(pids, kind="stable")
+                batch = batch.take(pa.array(order))
+                pids = pids[order]
             change = np.flatnonzero(pids[1:] != pids[:-1]) + 1
             bounds = np.concatenate(([0], change, [len(pids)]))
             for i in range(len(bounds) - 1):
@@ -210,8 +215,7 @@ def encode_dataframe(
     if committed:
         work = work.filter(~F.col(PID_COL).isin(*[int(p) for p in committed]))
 
-    work = (work.repartition(num_pids, F.col(PID_COL))
-                .sortWithinPartitions(PID_COL))
+    work = work.repartition(num_pids, F.col(PID_COL))
 
     task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
                                 chunk_bytes, codec_overrides)

@@ -1,0 +1,129 @@
+"""Operator-level tests over deterministic fixtures: dedup family,
+similarity search, text analysis, multimodal plumbing, ETL builders,
+streaming aggregate."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from pyspark.sql import functions as F
+
+from omi_cpp_parquet_wide_record_spark.operators import (
+    dedup, etl, multimodal, similarity, text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en"),   # near dup
+        (3, "der schnelle braune fuchs und der faule hund", "de"),
+        (4, "completely different content about spark engines", "en"),
+        (5, "the quick brown fox jumps over the lazy dog !", "en"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 1).count() == 0  # min-id kept
+    groups = dedup.exact_duplicates(docs)
+    assert groups.filter(F.col("n_dups") == 2).count() == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in got                     # identical docs -> jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got    # one-word change -> high overlap
+    assert all(r.jaccard <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_finds_exact_dup(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, n_shingle=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 4) not in got and (1, 4) not in got
+
+
+def test_simhash(spark, docs):
+    sigs = {r.id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]                # identical text, identical hash
+    pairs = dedup.simhash_pairs(docs, max_hamming=0)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_text_profile(spark, docs):
+    prof = {r.doc_id: r for r in text.text_profile(docs).collect()}
+    assert prof[0].fp == prof[1].fp
+    assert prof[0].lang_pred == "en"
+    assert prof[3].lang_pred == "de"
+    assert prof[0].n_tokens_ws == 9
+
+
+def test_similarity_topk(spark):
+    vecs = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    vecs.append((6, [1.0, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=1)
+    row = top.collect()[0]
+    assert row.neighbor_id == 6 and row.cosine > 0.99
+
+
+def test_lsh_and_ivf_consistency(spark):
+    vecs = [(i, [float((i * 7 + j) % 5 - 2) for j in range(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sigs = similarity.lsh_bucket_signatures(df, n_planes=8)
+    assert sigs.count() == 40
+    # deterministic across runs
+    a = sorted((r.id, r.bucket) for r in sigs.collect())
+    b = sorted((r.id, r.bucket)
+               for r in similarity.lsh_bucket_signatures(df, n_planes=8).collect())
+    assert a == b
+    ivf = similarity.ivf_assign(df, n_centroids=4)
+    assert ivf.select("centroid").distinct().count() <= 4
+
+
+def test_multimodal_pipeline(spark, docs):
+    media = multimodal.fake_media_df(docs)
+    feats = multimodal.media_features(media)
+    rows = feats.collect()
+    assert len(rows) == 6
+    assert all(8 <= r.width <= 31 and 8 <= r.height <= 31 for r in rows)
+    resized = multimodal.resize_media(media, out_w=4, out_h=4)
+    out = multimodal.media_features(resized).collect()
+    assert all(r.width == 4 and r.height == 4 for r in out)
+
+
+def test_multimodal_stub_rejects_real_media(spark):
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_payload(b"\x89PNG\r\n\x1a\nxxxxxxxx")
+
+
+def test_dense_row_index(spark):
+    df = spark.range(0, 1000).select((F.col("id") * 3).alias("k"))
+    out = etl.dense_row_index(df, "k", out_col="idx").collect()
+    pairs = sorted((r.k, r.idx) for r in out)
+    assert [p[1] for p in pairs] == list(range(1, 1001))
+
+
+def test_streaming_tumbling(spark, tmp_path):
+    from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+        run_stream_once,
+    )
+    src = spark.createDataFrame(
+        [(i, f"2024-01-01 00:{i % 50:02d}:00", "click", 1.0 * i)
+         for i in range(100)],
+        "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    p = str(tmp_path / "stream_src")
+    src.write.parquet(p)
+    out = run_stream_once(spark, p, src.schema, query_name="t_stream")
+    assert out.count() == 10  # 50 distinct minutes / 5-minute windows
+    assert out.agg(F.sum("n")).collect()[0][0] == 100
