@@ -292,8 +292,9 @@ def wide_itch_batch(start: int, end: int, which: str = "nasdaq",
     # per-message sequence: header seq incremented before EVERY write incl.
     # the first — the reference's observed off-by-one (ref NQ:3457, NQ:157-159)
     message_sequence = header_seq + message_index.astype(np.int64)
+    # one capture timestamp per PACKET (shared by its messages, ref NQ:60-83)
     pcap_ts = _TS_BASE + blk.astype(np.int64) * 1000 + (
-        _lane(ids, 22, seed) % np.uint64(900)).astype(np.int64)
+        _lane(blk, 22, seed) % np.uint64(900)).astype(np.int64)
 
     cols: list[pa.Array] = [
         pa.array(pcap_index, type=pa.int64()),
@@ -364,3 +365,66 @@ def write_golden_parquet(table: pa.Table, path: str) -> int:
                    use_dictionary=True,
                    write_statistics=True)
     return os.path.getsize(path)
+
+
+# ------------------------------------------- binary packet capture fixture
+
+_KIND_WIDTH = {"u8": 1, "u16": 2, "u32": 4, "u48": 6, "u64": 8}
+
+
+def packets_table(rows: int, which: str = "nasdaq",
+                  seed: int = 42) -> pa.Table:
+    """Binary packet capture equivalent of wide_itch_table(rows):
+    (pcap_sec, pcap_usec, payload) with MoldUDP64-style payloads —
+    session(10B ASCII) + sequence(8B BE) + count(2B BE) + per message
+    [length(2B BE) + type(1B) + fields in the reference parse order
+    (NQ:3557-3769 / JX:1741-1824)].
+
+    Serializing the wide fixture and parsing it back with
+    operators.wide_record.parse_packets must reproduce wide_itch_table
+    exactly — the engine-side proof that the protocol decode (O4-O10) is
+    faithful to the reference."""
+    from omi_cpp_parquet_wide_record_spark import schema as S
+    wide = wide_itch_table(rows, which, seed)
+    kinds = S.NASDAQ_PAYLOAD_KINDS if which == "nasdaq" else S.JNX_PAYLOAD_KINDS
+    type_fields = S.NASDAQ_TYPE_FIELDS if which == "nasdaq" else S.JNX_TYPE_FIELDS
+    cols = {name: wide.column(name).to_pylist() for name in wide.column_names}
+    n = wide.num_rows
+    session = cols["session"][0].encode()
+
+    payloads: list[bytes] = []
+    secs: list[int] = []
+    usecs: list[int] = []
+    i = 0
+    while i < n:
+        blk = (cols["pcap_index"][i] - 1)
+        msgs = []
+        j = i
+        while j < n and cols["pcap_index"][j] == blk + 1:
+            mtype = cols["message_type"][j]
+            body = bytearray()
+            for f in type_fields[chr(mtype)]:
+                kind, width = kinds[f]
+                v = cols[f][j]
+                if kind == "str":
+                    b = (v or "").encode()[:width]
+                    body += b + b" " * (width - len(b))
+                else:
+                    body += int(v).to_bytes(_KIND_WIDTH[kind], "big")
+            # MoldUDP64 convention: length covers type byte + body
+            msgs.append((len(body) + 1).to_bytes(2, "big") + bytes([mtype])
+                        + bytes(body))
+            j += 1
+        header_seq = blk * 7 + 1
+        payloads.append(session + header_seq.to_bytes(8, "big")
+                        + len(msgs).to_bytes(2, "big") + b"".join(msgs))
+        ts = int(wide.column("pcap_timestamp")[i].cast(pa.int64()).as_py())
+        secs.append(ts // 1_000_000)
+        usecs.append(ts % 1_000_000)
+        i = j
+
+    return pa.table({
+        "pcap_sec": pa.array(secs, type=pa.int64()),
+        "pcap_usec": pa.array(usecs, type=pa.int64()),
+        "payload": _bin_array(payloads, pa.binary()),
+    })

@@ -127,3 +127,42 @@ def test_streaming_tumbling(spark, tmp_path):
     out = run_stream_once(spark, p, src.schema, query_name="t_stream")
     assert out.count() == 10  # 50 distinct minutes / 5-minute windows
     assert out.agg(F.sum("n")).collect()[0][0] == 100
+
+
+def test_owrc_datasource(spark, tmp_path):
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    out = str(tmp_path / "store")
+    corpus = FX.web_pages_df(spark, 1500, partitions=2)
+    encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                     num_pids=4, salt=2)
+    spark.dataSource.register(OwrcDataSource)
+    df = spark.read.format("owrc").load(out)
+    assert df.count() == 1500
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    # column pruning path
+    two = spark.read.format("owrc").load(out).select("url", "lang")
+    assert two.count() == 1500
+
+
+def test_wire_functions(spark):
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.functions import wire
+    df = spark.createDataFrame(
+        [(bytearray(b"SESSION001" + (1234567).to_bytes(8, "big")
+                    + b"AB \x00XY"),)], "payload binary")
+    row = df.select(
+        wire.ascii_raw(F.col("payload"), 1, 10).alias("session"),
+        wire.be_uint(F.col("payload"), 11, 8).alias("seq"),
+        wire.ascii_trimmed(F.col("payload"), 19, 3).alias("trimmed"),
+        wire.u8_code(F.col("payload"), 19).alias("code"),
+    ).collect()[0]
+    assert row.session == "SESSION001"
+    assert row.seq == 1234567
+    assert row.trimmed == "AB"
+    assert row.code == ord("A")

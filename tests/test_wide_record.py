@@ -66,3 +66,54 @@ def test_wide_record_spark_pipeline(spark, tmp_path, which):
     decoded = decode_store(spark, out)
     v = verify_roundtrip(df, decoded, key="row_key")
     assert v.ok, v
+
+
+@pytest.mark.parametrize("which", ["nasdaq", "jnx"])
+def test_packet_parse_matches_wide_fixture(which):
+    """parse(serialize(wide)) == wide: the protocol decode (O4-O10) is
+    faithful to the reference's message formats, bit for bit."""
+    import numpy as np
+    import pyarrow as pa
+    from omi_cpp_parquet_wide_record_spark.operators.wide_record import (
+        parse_packets_batch,
+    )
+    wide = FX.wide_itch_table(2000, which)
+    pkts = FX.packets_table(2000, which)
+    b = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(1, pkts.num_rows + 1), type=pa.int64())] +
+        [pkts.column(c).combine_chunks() for c in pkts.column_names],
+        names=["pcap_index"] + pkts.column_names)
+    parsed = pa.Table.from_batches([parse_packets_batch(b, which)])
+    assert parsed.equals(wide)
+
+
+def test_packet_pipeline_spark_end_to_end(spark, tmp_path):
+    """Full reference pipeline in Spark: binary capture -> dense index ->
+    vectorized parse -> wide record -> columnar encode -> decode -> verify."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.verify import (
+        verify_roundtrip,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.wide_record import (
+        parse_packets,
+    )
+    pkts = FX.packets_table(2000, "nasdaq")
+    pdf = spark.createDataFrame(pkts.to_pandas()).repartition(4)
+    wide_df = parse_packets(pdf, "nasdaq")
+    assert wide_df.count() == 2000
+
+    expected = spark.createDataFrame(FX.wide_itch_table(2000, "nasdaq")
+                                     .to_pandas())
+    key = (F.col("pcap_index") * 100 + F.col("message_index")).alias("row_key")
+    out = str(tmp_path / "store")
+    encode_dataframe(wide_df.withColumn("row_key", key),
+                     out, partition_by=["message_type"], salt_key="row_key",
+                     num_pids=8, salt=2)
+    decoded = decode_store(spark, out)
+    v = verify_roundtrip(expected.withColumn("row_key", key), decoded,
+                         key="row_key")
+    assert v.ok, v
