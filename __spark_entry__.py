@@ -254,6 +254,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal.fake_media_df(_read(s, d, "documents"))
     ).select("id", F.octet_length("media").alias("media_bytes"))  # rows-only
 
+    # ---------------- binary capture pipeline (O1-O10 on real binary data)
+    def _parse_packets(s, d, which="nasdaq"):
+        from omi_cpp_parquet_wide_record_spark import fixtures as FX
+        from omi_cpp_parquet_wide_record_spark.operators.wide_record import (
+            parse_packets,
+        )
+        pkts = FX.packets_table(4000, which)
+        pdf = s.createDataFrame(pkts.to_pandas()).repartition(4)
+        out = parse_packets(pdf, which)
+        return out.select(
+            "pcap_index", "message_sequence", "message_index", "message_type",
+            "stock", "price", "shares", "order_reference_number",
+            F.unix_micros("pcap_timestamp").alias("pcap_ts_us"))
+    q["wide_record_parse"] = _parse_packets                # rows-only check
+
+    def _metrics(s, d):
+        from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+        _roundtrip(s, d, "documents",
+                   ["doc_id", "text", "lang", "source", "n_chars"], {}, "auto")
+        import hashlib as _h
+        key = _h.sha256(
+            f"{d}|documents|['doc_id', 'text', 'lang', 'source', 'n_chars']"
+            f"|[]|auto|v3".encode()).hexdigest()[:16]
+        m = ChunkStore(os.path.join(_STORE_ROOT, key)).manifest_table()
+        mdf = s.createDataFrame(m.to_pandas())
+        return (mdf.groupBy("codec")
+                .agg(F.sum("bytes_in").alias("bytes_in"),
+                     F.sum("bytes_out").alias("bytes_out"),
+                     F.count(F.lit(1)).alias("chunks")))
+    q["encode_metrics_rollup"] = _metrics                  # rows-only check
+
     # ---------------- streaming
     def _stream(s, d):
         from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (

@@ -109,3 +109,25 @@ def test_chunk_file_self_describing(spark, corpus, tmp_path):
     t = read_chunk_file(os.path.join(chunks_dir, fname), check_sha=True)
     assert set(t.schema.names) == {"url", "warc_ts", "html", "text", "lang"}
     assert t.num_rows > 0
+
+
+def test_salting_spreads_skewed_lang(spark, tmp_path):
+    """90%-one-lang corpus (FIXTURES F1 skew variant): the salt bucket in
+    the work-unit hash must spread the hot lang over ~salt distinct pids so
+    no single task owns 90% of the data (SURVEY §2.2 skew taming)."""
+    import pyarrow.compute as pc
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    skewed = FX.web_pages_df(spark, 3000, skew=True, partitions=4)
+    out = str(tmp_path / "store")
+    encode_dataframe(skewed, out, partition_by=["lang"], salt_key="url",
+                     num_pids=32, salt=8)
+    m = ChunkStore(out).manifest_table()
+    rows_per_pid = {}
+    url_rows = m.filter(pc.equal(m.column("column"), "url"))
+    for pid, rows in zip(url_rows.column("pid").to_pylist(),
+                         url_rows.column("rows").to_pylist()):
+        rows_per_pid[pid] = rows_per_pid.get(pid, 0) + rows
+    top = max(rows_per_pid.values())
+    # hot lang is 90% of 3000; with salt=8 no pid should exceed ~1/8 of it
+    assert top < 0.25 * 3000, rows_per_pid
+    assert len(rows_per_pid) >= 8
