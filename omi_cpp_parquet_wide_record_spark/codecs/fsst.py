@@ -44,14 +44,15 @@ _DEAD = _KSPACE * _KSPACE  # sentinel pair key for row-boundary positions
 
 
 def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
-                        rounds: int, per_round: int, min_count: int
-                        ) -> tuple[np.ndarray, list[tuple[int, int]]]:
-    """Merge frequent adjacent pairs into new symbols; returns the final
-    token stream (ids < 256+L) and the (left, right) child pair per learned
-    id 256+. Every pass is whole-array; the stream shrinks as merges land."""
+                        rounds: int, per_round: int, min_count: int):
+    """Merge frequent adjacent pairs into new symbols. Returns (final token
+    stream, (left,right) child pair per learned id 256+, and the per-round
+    merge program [(keys, new_ids), ...] for replay on other blocks). Every
+    pass is whole-array; the stream shrinks as merges land."""
     t = corpus.astype(np.int16)
     start = is_start
     pairs: list[tuple[int, int]] = []      # learned ids 256, 257, ...
+    program: list[tuple[np.ndarray, np.ndarray]] = []
     exp_len = np.ones(_KSPACE, dtype=np.int32)
     next_id = 256
     idx_full = np.arange(len(t), dtype=np.int32)  # reused across rounds
@@ -77,8 +78,10 @@ def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
         order = np.argsort(counts[cand])[::-1][:budget]
         cand, left, right = cand[order], left[order], right[order]
         lut = np.full(_DEAD + 1, -1, dtype=np.int16)
-        for key, l_id, r_id in zip(cand.tolist(), left.tolist(), right.tolist()):
-            lut[key] = next_id
+        round_ids = np.arange(next_id, next_id + len(cand), dtype=np.int16)
+        lut[cand] = round_ids
+        program.append((cand.astype(np.int32), round_ids))
+        for l_id, r_id in zip(left.tolist(), right.tolist()):
             pairs.append((l_id, r_id))
             exp_len[next_id] = exp_len[l_id] + exp_len[r_id]
             next_id += 1
@@ -102,7 +105,42 @@ def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
         start = start[keep]
         if len(sel) < len(t) // 100:       # diminishing returns: stop early
             break
-    return t, pairs
+    return t, pairs, program
+
+
+def _apply_program(corpus: np.ndarray, is_start: np.ndarray,
+                   program, lut: np.ndarray) -> np.ndarray:
+    """Replay a trained merge program on one (cache-sized) corpus block:
+    per round only lut-gather + parity-select + compaction — no counting."""
+    t = corpus.astype(np.int16)
+    start = is_start
+    idx_full = np.arange(len(t), dtype=np.int32)
+    for keys, ids in program:
+        if len(t) < 2:
+            break
+        lut[keys] = ids
+        k = t[:-1].astype(np.int32)
+        k <<= 9
+        k |= t[1:]
+        k[start[1:]] = _DEAD
+        new_ids = lut[k]
+        marked = new_ids >= 0
+        if marked.any():
+            run_start = marked.copy()
+            run_start[1:] &= ~marked[:-1]
+            pos = idx_full[:len(marked)]
+            anchor = np.where(run_start, pos, 0)
+            np.maximum.accumulate(anchor, out=anchor)
+            take = marked
+            take &= ((pos - anchor) & 1) == 0
+            sel = np.flatnonzero(take)
+            t[sel] = new_ids[sel]
+            keep = np.ones(len(t), dtype=bool)
+            keep[sel + 1] = False
+            t = t[keep]
+            start = start[keep]
+        lut[keys] = -1     # restore shared lut for the next round/block
+    return t
 
 
 def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
@@ -198,9 +236,52 @@ class FsstCodec(Codec):
         np.cumsum(lengths, out=starts[1:])
         is_start[starts[:-1][lengths > 0]] = True
 
-        min_count = max(self.min_count, len(corpus) >> 15)
-        t, pairs = _train_and_tokenize(
-            corpus, is_start, self.rounds, self.per_round, min_count)
+        TRAIN_BYTES = 2 << 20
+        BLOCK_BYTES = 4 << 20
+        if len(corpus) <= BLOCK_BYTES:
+            min_count = max(self.min_count, len(corpus) >> 15)
+            t, pairs, _prog = _train_and_tokenize(
+                corpus, is_start, self.rounds, self.per_round, min_count)
+        else:
+            # train on a strided row sample (2 MB), replay the merge program
+            # on ~4 MB blocks — cache-resident passes, counting only once
+            row_off = starts[:-1]
+            nz = np.flatnonzero(lengths > 0)
+            stride = max(1, int(np.ceil(
+                float(lengths[nz].sum()) / TRAIN_BYTES)))
+            pick = nz[::stride]
+            plens = lengths[pick]
+            psrc = np.repeat(row_off[pick], plens) + (
+                np.arange(int(plens.sum())) -
+                np.repeat(np.concatenate(([0], np.cumsum(plens)[:-1])), plens))
+            sample = corpus[psrc]
+            s_start = np.zeros(len(sample), dtype=bool)
+            s_off = np.concatenate(([0], np.cumsum(plens)[:-1]))
+            s_start[s_off] = True
+            min_count = max(self.min_count, len(sample) >> 15)
+            _st, pairs, prog = _train_and_tokenize(
+                sample, s_start, self.rounds, self.per_round, min_count)
+            # block boundaries at row starts near multiples of BLOCK_BYTES
+            row_ends = np.cumsum(lengths)
+            cuts = [0]
+            target = BLOCK_BYTES
+            for i, e in enumerate(row_ends.tolist()):
+                if e >= target:
+                    cuts.append(i + 1)
+                    target = e + BLOCK_BYTES
+            if cuts[-1] != n_rows:
+                cuts.append(n_rows)
+            lut = np.full(_DEAD + 1, -1, dtype=np.int16)
+            parts = []
+            for a, b in zip(cuts[:-1], cuts[1:]):
+                lo = int(row_off[a])
+                hi = int(row_ends[b - 1]) if b > a else lo
+                if hi <= lo:
+                    continue
+                blk = corpus[lo:hi]
+                bs = is_start[lo:hi]
+                parts.append(_apply_program(blk, bs, prog, lut))
+            t = np.concatenate(parts) if parts else corpus.astype(np.int16)
         t, table, code_of = _assign_codes(t, pairs)
 
         codes = code_of[t]
@@ -256,21 +337,33 @@ class FsstCodec(Codec):
         # escaped literals: single-byte copy
         ep = tok_pos[tok_esc]
         out[pos[tok_esc]] = enc[ep + 1]
-        # code tokens: group positions by code via one sort, then one
-        # broadcast write per distinct code over its contiguous slice
+        # code tokens: single-byte expansions (the common case on
+        # escape-heavy data) decode with one LUT gather; multi-byte codes
+        # are grouped by one sort and written per group
         cp_mask = ~tok_esc
         cp_codes = enc[tok_pos[cp_mask]]
         cp_pos = pos[cp_mask]
-        order = np.argsort(cp_codes, kind="stable")
-        sc, sp = cp_codes[order], cp_pos[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(sc[1:] != sc[:-1]) + 1, [len(sc)]))
-        for gi in range(len(bounds) - 1):
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            if lo == hi:
-                continue
-            e = exp_arrs[int(sc[lo])]
-            out[sp[lo:hi, None] + np.arange(len(e))] = e
+        lens_of = code_len[cp_codes]
+        one = lens_of == 1
+        if one.any():
+            lut1 = np.zeros(256, dtype=np.uint8)
+            for c in range(ncodes):
+                if tab_lens[c] == 1:
+                    lut1[c] = exp_arrs[c][0]
+            out[cp_pos[one]] = lut1[cp_codes[one]]
+        multi = ~one
+        if multi.any():
+            mc, mp_ = cp_codes[multi], cp_pos[multi]
+            order = np.argsort(mc, kind="stable")
+            sc, sp = mc[order], mp_[order]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(sc[1:] != sc[:-1]) + 1, [len(sc)]))
+            for gi in range(len(bounds) - 1):
+                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+                if lo == hi:
+                    continue
+                e = exp_arrs[int(sc[lo])]
+                out[sp[lo:hi, None] + np.arange(len(e))] = e
         assert int(lengths.sum()) == len(out), "fsst decode length mismatch"
         return block_to_array(lengths, out.tobytes(), target)
 
