@@ -44,6 +44,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     from omi_cpp_parquet_wide_record_spark.operators.encode import (
         encode_dataframe,
     )
+    _tune(spark)
     src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")) \
         .select(*cols)
     n_src = src.count()
@@ -73,7 +74,26 @@ def _ts_us(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _tune(spark: SparkSession) -> SparkSession:
+    """The driver supplies its own SparkSession; pin the runtime confs the
+    oracle comparison depends on (UTC session TZ so epoch micros match
+    DuckDB's naive timestamps; TIMESTAMP not TIMESTAMP_NTZ from parquet so
+    unix_micros/watermarks resolve; Arrow execution for the kernels)."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
@@ -299,6 +319,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            .cast("double").alias("total_value"))
     q["streaming_tumbling_counts"] = _stream
 
+    def _stateful(s, d):
+        from omi_cpp_parquet_wide_record_spark.streaming.stateful import (
+            run_stateful_once,
+        )
+        schema = _read(s, d, "events").schema
+        return run_stateful_once(
+            s, os.path.join(d, "events.parquet"), schema,
+            query_name=f"owr_stateful_{abs(hash(d)) % 99999}"
+        ).select("user_id", "n_sessions", "n_events")
+    q["streaming_stateful_sessionize"] = _stateful
+
     return q
 
 
@@ -389,6 +420,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_nationkey")
     sql["sessionize"] = (
+        "WITH g AS (SELECT user_id, "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts)) > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess "
+        "FROM events) "
+        "SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events "
+        "FROM g GROUP BY user_id")
+
+    # stateful streaming totals == the batch sessionize aggregate
+    sql["streaming_stateful_sessionize"] = (
         "WITH g AS (SELECT user_id, "
         "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
         "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "

@@ -1,0 +1,51 @@
+"""Snapshot expiry + orphan cleanup for the chunk store (Iceberg-style
+maintenance: expire_snapshots / remove_orphan_files).
+
+A crashed run leaves chunk files no manifest references (the commit pointer
+never flipped); expired snapshots leave manifests no live snapshot
+references. Both are safe to delete because readers only ever follow
+_current -> snapshot -> manifests -> chunk files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+
+
+def expire_snapshots(store: ChunkStore, keep_last: int = 1) -> dict:
+    """Drop all but the newest `keep_last` snapshots plus any manifests and
+    chunk files only they referenced. Returns a deletion report."""
+    snaps = sorted(os.listdir(store.snapshots_dir))
+    live = snaps[-keep_last:]
+    dead = snaps[:-keep_last]
+    live_manifests: set[str] = set()
+    for name in live:
+        with open(os.path.join(store.snapshots_dir, name)) as f:
+            live_manifests.update(json.load(f)["manifests"])
+    removed_manifests = []
+    for name in dead:
+        os.remove(os.path.join(store.snapshots_dir, name))
+    for m in os.listdir(store.manifests_dir):
+        if m not in live_manifests:
+            os.remove(os.path.join(store.manifests_dir, m))
+            removed_manifests.append(m)
+    orphans = remove_orphan_chunks(store)
+    return {"removed_snapshots": dead,
+            "removed_manifests": removed_manifests,
+            "removed_orphan_chunks": orphans}
+
+
+def remove_orphan_chunks(store: ChunkStore) -> list[str]:
+    """Delete chunk files not referenced by the live snapshot's manifests
+    (failed-attempt leftovers; the commit protocol makes them invisible)."""
+    manifest = store.manifest_table()
+    referenced = set(manifest.column("chunk_file").to_pylist())
+    removed = []
+    for f in os.listdir(store.chunks_dir):
+        if f not in referenced:
+            os.remove(os.path.join(store.chunks_dir, f))
+            removed.append(f)
+    return removed

@@ -166,3 +166,49 @@ def test_wire_functions(spark):
     assert row.seq == 1234567
     assert row.trimmed == "AB"
     assert row.code == ord("A")
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    from omi_cpp_parquet_wide_record_spark.streaming.stateful import (
+        run_stateful_once,
+    )
+    # user 1: two sessions (40-minute gap); user 2: one session
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 00:55:00"),
+            (2, "2024-01-01 02:00:00"), (2, "2024-01-01 02:05:00")]
+    src = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    p = str(tmp_path / "src")
+    src.write.parquet(p)
+    out = {r.user_id: r for r in
+           run_stateful_once(spark, p, src.schema,
+                             query_name="t_stateful").collect()}
+    assert out[1].n_events == 3 and out[1].n_sessions == 2
+    assert out[2].n_events == 2 and out[2].n_sessions == 1
+
+
+def test_snapshot_gc(spark, tmp_path):
+    import os
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.gc import (
+        expire_snapshots, remove_orphan_chunks,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    out = str(tmp_path / "store")
+    corpus = FX.web_pages_df(spark, 1200, partitions=2)
+    encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                     num_pids=4, salt=2)
+    store = ChunkStore(out)
+    # plant an orphan (failed-attempt leftover)
+    orphan = os.path.join(store.chunks_dir, "chunk-p99999-s0000-dead.owrc")
+    open(orphan, "wb").write(b"junk")
+    removed = remove_orphan_chunks(store)
+    assert os.path.basename(orphan) in removed
+    report = expire_snapshots(store, keep_last=1)
+    assert report["removed_snapshots"] == []   # only one snapshot: kept
+    # store still fully readable after GC
+    assert decode_store(spark, out).count() == 1200
