@@ -65,20 +65,27 @@ class EncodeResult:
 
 def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
                  plan_cache: dict, run_id: str, tag: str,
-                 overrides: dict | None = None) -> list[dict]:
+                 overrides: dict | None = None,
+                 group_cols: list[str] | None = None) -> list[dict]:
     """Encode every column of one chunk, write the file, return manifest rows."""
     fname = f"chunk-p{pid:05d}-s{seq:04d}-{tag}.owrc"
     rows: list[dict] = []
     payloads: list[bytes] = []
     offset = 0
     footer_cols = []
+    # codec choices are cached per (partition value, column): salt buckets
+    # of the same partition value share one distribution, so one trial run
+    # covers all of them (selector cost / salt)
+    if group_cols:
+        gkey = tuple(str(table.column(c)[0]) for c in group_cols
+                     if c in table.schema.names) or pid
+    else:
+        gkey = pid
     for name in table.schema.names:
         arr = table.column(name)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        # one codec choice per (pid, column): chosen on the pid's first chunk,
-        # reused after (columns are homogeneous within a work unit)
-        key = (pid, name)
+        key = (gkey, name)
         if key not in plan_cache:
             plan_cache[key] = (overrides or {}).get(name) or \
                 choose_codec(arr).codec
@@ -108,7 +115,8 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
 
 
 def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
-                         chunk_bytes: int, overrides: dict | None = None):
+                         chunk_bytes: int, overrides: dict | None = None,
+                         group_cols: list[str] | None = None):
     """Build the mapInArrow function. Accumulates per-pid batch slices and
     flushes a chunk when either budget trips; all slicing is zero-copy."""
 
@@ -129,7 +137,7 @@ def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
             tbl = pa.Table.from_batches(acc[pid]).drop_columns([PID_COL])
             out_rows.extend(_write_chunk(chunks_dir, pid, seq.get(pid, 0),
                                          tbl, plan_cache, run_id, tag,
-                                         overrides))
+                                         overrides, group_cols))
             seq[pid] = seq.get(pid, 0) + 1
             acc[pid], acc_rows[pid], acc_bytes[pid] = [], 0, 0
 
@@ -218,7 +226,7 @@ def encode_dataframe(
     work = work.repartition(num_pids, F.col(PID_COL))
 
     task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
-                                chunk_bytes, codec_overrides)
+                                chunk_bytes, codec_overrides, partition_by)
     manifest_df = work.mapInArrow(task, _manifest_ddl())
     manifest_rows = manifest_df.toArrow().cast(MANIFEST_SCHEMA)
     if manifest_rows.num_rows == 0 and not committed:

@@ -62,7 +62,7 @@ def candidates_for(arr: pa.Array) -> list[str]:
     return ["plain"]
 
 
-DEFAULT_SAMPLE_BYTES = 256 << 10
+DEFAULT_SAMPLE_BYTES = 128 << 10
 
 
 def sample_array(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS,
