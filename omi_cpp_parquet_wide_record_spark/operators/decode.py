@@ -24,22 +24,37 @@ from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
 
 def read_chunk_file(path: str, columns: list[str] | None = None,
                     check_sha: bool = False) -> pa.Table:
-    """Decode one self-describing chunk file (column pruning supported)."""
+    """Decode one self-describing chunk file.
+
+    Column pruning is real I/O pruning: the footer is read from the file
+    tail, then only the selected columns' byte ranges are read — a scan of
+    2 of 67 wide-record columns touches ~3% of the file (the chunk-level
+    analogue of Parquet column-chunk seeks)."""
     with open(path, "rb") as f:
-        data = f.read()
-    if data[-5:] != CHUNK_MAGIC:
-        raise ValueError(f"bad chunk magic in {path}")
-    flen = int.from_bytes(data[-9:-5], "little")
-    footer = json.loads(data[-9 - flen:-9])
-    arrays, names = [], []
-    for col in footer["columns"]:
-        if columns is not None and col["name"] not in columns:
-            continue
-        payload = memoryview(data)[col["offset"]:col["offset"] + col["length"]]
-        if check_sha and hashlib.sha256(payload).hexdigest() != col["sha256"]:
-            raise ValueError(f"sha256 mismatch for {col['name']} in {path}")
-        arrays.append(decode_column(payload, col["params"]))
-        names.append(col["name"])
+        f.seek(0, os.SEEK_END)
+        fsize = f.tell()
+        tail = min(fsize, 64 << 10)
+        f.seek(fsize - tail)
+        buf = f.read(tail)
+        if buf[-5:] != CHUNK_MAGIC:
+            raise ValueError(f"bad chunk magic in {path}")
+        flen = int.from_bytes(buf[-9:-5], "little")
+        if flen + 9 > len(buf):
+            f.seek(fsize - flen - 9)
+            buf = f.read(flen + 9)
+        footer = json.loads(buf[-9 - flen:-9])
+        arrays, names = [], []
+        for col in footer["columns"]:
+            if columns is not None and col["name"] not in columns:
+                continue
+            f.seek(col["offset"])
+            payload = f.read(col["length"])
+            if check_sha and \
+                    hashlib.sha256(payload).hexdigest() != col["sha256"]:
+                raise ValueError(
+                    f"sha256 mismatch for {col['name']} in {path}")
+            arrays.append(decode_column(payload, col["params"]))
+            names.append(col["name"])
     return pa.table(dict(zip(names, arrays)))
 
 

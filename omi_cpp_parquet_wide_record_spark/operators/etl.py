@@ -141,7 +141,9 @@ def field_decoders(df: DataFrame, text_col: str) -> DataFrame:
 
 def csv_sink_format(df: DataFrame, cols: list[str]) -> DataFrame:
     """O14 (ref NQ:3300-3370): CSV row formatting with the reference's
-    trailing comma quirk preserved."""
+    quirks preserved — trailing comma, and NULL optionals printed as empty
+    slots (operator<< emits nothing but the comma still lands)."""
     return df.select(
-        F.concat(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]),
-                 F.lit(",")).alias("csv_row"))
+        F.concat(F.concat_ws(",", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]),
+            F.lit(",")).alias("csv_row"))
