@@ -239,6 +239,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.count(F.lit(1)).alias("n_events")))
     q["sessionize"] = _sessionize
 
+    def _asof(s, d):
+        ev = _read(s, d, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts", "value")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "value")
+        out = etl.asof_join(clicks, views, key="user_id", ts="ts",
+                            right_cols=["value"])
+        return out.select("event_id", "user_id",
+                          F.unix_micros("ts").alias("ts_us"),
+                          "value", "value_asof")
+    q["asof_join_enrich"] = _asof
+
     # ---------------- training-data pipeline: dedup family
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
         _read(s, d, "documents"))
@@ -437,6 +450,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM events) "
         "SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events "
         "FROM g GROUP BY user_id")
+
+    sql["asof_join_enrich"] = (
+        "WITH clicks AS (SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'click'), "
+        "views AS (SELECT user_id, ts, value FROM events "
+        "WHERE event_type = 'view') "
+        "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "
+        "c.value AS value, v.value AS value_asof "
+        "FROM clicks c ASOF LEFT JOIN views v "
+        "ON c.user_id = v.user_id AND c.ts >= v.ts")
 
     sql["dedup_exact_groups"] = (
         "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups "

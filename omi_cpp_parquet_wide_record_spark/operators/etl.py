@@ -147,3 +147,35 @@ def csv_sink_format(df: DataFrame, cols: list[str]) -> DataFrame:
         F.concat(F.concat_ws(",", *[
             F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]),
             F.lit(",")).alias("csv_row"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
+              right_cols: list[str], suffix: str = "_asof") -> DataFrame:
+    """As-of join without a UDF or a range join: for each left row, the
+    latest right row with right.ts <= left.ts and the same key.
+
+    Spark has no native ASOF JOIN; the scalable shape is the union-tag
+    trick — one sort per key partition, last_value(ignoreNulls) over the
+    merged stream, then keep left rows. One shuffle on the key, no
+    quadratic candidate pairs (the common OLAP pattern for trades/quotes
+    and slowly-changing enrichment)."""
+    ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
+    l = left.withColumn("__side", F.lit(1))
+    for c in right_cols:
+        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(rtypes[c]))
+    r = right.select(key, ts, *right_cols).withColumn("__side", F.lit(0))
+    for c in right_cols:
+        r = r.withColumnRenamed(c, f"{c}{suffix}")
+    for c in left.columns:
+        if c not in (key, ts):
+            r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
+    merged = l.unionByName(r)
+    from pyspark.sql import Window
+    w = (Window.partitionBy(key)
+         .orderBy(F.col(ts).asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = merged
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}",
+                             F.last(f"{c}{suffix}", ignorenulls=True).over(w))
+    return out.filter(F.col("__side") == 1).drop("__side")

@@ -212,3 +212,17 @@ def test_snapshot_gc(spark, tmp_path):
     assert report["removed_snapshots"] == []   # only one snapshot: kept
     # store still fully readable after GC
     assert decode_store(spark, out).count() == 1200
+
+
+def test_asof_join(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 25, "t2"), (2, 5, "t3"), (2, 100, "t4")],
+        "sym long, ts long, trade string")
+    quotes = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 20, 2.0), (2, 50, 3.0)],
+        "sym long, ts long, px double")
+    out = {(r.sym, r.ts): r.px_asof for r in
+           etl.asof_join(trades, quotes, key="sym", ts="ts",
+                         right_cols=["px"]).collect()}
+    assert out[(1, 10)] == 1.0 and out[(1, 25)] == 2.0
+    assert out[(2, 5)] is None and out[(2, 100)] == 3.0
