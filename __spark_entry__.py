@@ -207,6 +207,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
                 "count_order"))
 
+    q["tpch_q6_forecast_revenue"] = lambda s, d: (
+        _read(s, d, "lineitem")
+        .filter((F.col("l_shipdate") >= "1997-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+                & (F.col("l_discount").between(0.02, 0.04))
+                & (F.col("l_quantity") < 25))
+        .agg(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                   .cast("decimal(18,6)")).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n")))
+
+    q["tpch_q3_shipping_priority"] = lambda s, d: (
+        _read(s, d, "lineitem")
+        .join(_read(s, d, "orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") < "1998-01-01")
+                & (F.col("l_shipdate") > "1997-06-01"))
+        .groupBy("l_orderkey", F.unix_micros("o_orderdate").alias("o_date_us"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .cast("decimal(18,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10))
+
     def _topk(s, d):
         from pyspark.sql import Window
         w = Window.partitionBy("event_type").orderBy(
@@ -422,6 +444,21 @@ def oracle_sql() -> dict[str, str]:
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus")
+    sql["tpch_q6_forecast_revenue"] = (
+        "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS "
+        "DECIMAL(18,6))) AS DOUBLE) AS revenue, count(*) AS n FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01' "
+        "AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25")
+    sql["tpch_q3_shipping_priority"] = (
+        "SELECT l_orderkey, epoch_us(o_orderdate) AS o_date_us, "
+        "CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+        " AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE o_orderdate < TIMESTAMP '1998-01-01' "
+        "AND l_shipdate > TIMESTAMP '1997-06-01' "
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10")
+
     sql["topk_per_group"] = (
         "SELECT event_type, rk, event_id, value FROM ("
         "SELECT event_type, event_id, value, ROW_NUMBER() OVER ("
