@@ -229,6 +229,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10))
 
+    def _sql_api(s, d):
+        """The SQL surface (absent in the reference, SURVEY §2.2): the same
+        pricing summary expressed as plain Spark SQL over a temp view."""
+        _read(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+        return s.sql(
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) "
+            "AS sum_qty, count(*) AS count_order "
+            "FROM lineitem_v WHERE l_shipdate <= '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus")
+    q["sql_api_pricing"] = _sql_api
+
     def _topk(s, d):
         from pyspark.sql import Window
         w = Window.partitionBy("event_type").orderBy(
@@ -458,6 +470,13 @@ def oracle_sql() -> dict[str, str]:
         "WHERE o_orderdate < TIMESTAMP '1998-01-01' "
         "AND l_shipdate > TIMESTAMP '1997-06-01' "
         "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10")
+
+    sql["sql_api_pricing"] = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty, "
+        "count(*) AS count_order FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus")
 
     sql["topk_per_group"] = (
         "SELECT event_type, rk, event_id, value FROM ("
