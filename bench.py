@@ -14,7 +14,7 @@ Headline work:
     $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 
 Environment: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_ROWS
-(web-corpus rows, default 40000 ~= 200 MB).
+(web-corpus rows, default 100000 ~= 500 MB).
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 40000))
+    rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 100000))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else None
 
@@ -46,6 +46,16 @@ def main() -> int:
     timings: dict[str, float] = {}
     t_all = time.time()
 
+    # warmup: spin up python workers + JIT the whole pipeline on a tiny
+    # slice so the headline numbers measure steady state, not JVM cold start
+    warm_dir = "/tmp/owr_bench_warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    encode_dataframe(FX.web_pages_df(spark, 4000, partitions=cpus),
+                     warm_dir, partition_by=["lang"], salt_key="url",
+                     num_pids=cpus, salt=2)
+    decode_store(spark, warm_dir).count()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     # ---------------- engine headline: encode + decode the web corpus
     corpus = FX.web_pages_df(spark, rows, partitions=cpus * 2)
     corpus = corpus.persist()
@@ -54,8 +64,11 @@ def main() -> int:
     shutil.rmtree(store_dir, ignore_errors=True)
 
     t0 = time.time()
+    # work units sized for ~4 MB of input each (enough rows per chunk for
+    # the FSST symbol table to train well), floored at one per core
+    num_pids = max(cpus, min(cpus * 8, rows * 5200 // (4 << 20)))
     res = encode_dataframe(corpus, store_dir, partition_by=["lang"],
-                           salt_key="url", num_pids=cpus * 4, salt=8)
+                           salt_key="url", num_pids=num_pids, salt=8)
     timings["encode_web"] = round(time.time() - t0, 3)
 
     t0 = time.time()

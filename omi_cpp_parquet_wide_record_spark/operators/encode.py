@@ -211,7 +211,7 @@ def encode_dataframe(
     run_id = run_id or uuid.uuid4().hex
     store = ChunkStore(out_dir).create()
     if num_pids is None:
-        num_pids = max(spark.sparkContext.defaultParallelism * 2, 8)
+        num_pids = max(spark.sparkContext.defaultParallelism * 8, 8)
 
     if salt_key is None and partition_by is None:
         salt_key = df.columns[0]
