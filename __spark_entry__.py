@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         _read(s, d, "documents"), max_hamming=3)          # rows-only check
 
+    q["text_rolling_fingerprint"] = lambda s, d: dedup.rolling_fingerprints(
+        _read(s, d, "documents"))                         # rows-only check
+
     # ---------------- text analysis
     q["text_profile"] = lambda s, d: text.text_profile(
         _read(s, d, "documents"))

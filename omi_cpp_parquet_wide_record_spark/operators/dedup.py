@@ -284,3 +284,26 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def rolling_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """(id, fp: long) — 64-bit polynomial rolling hash of each document's
+    bytes (FNV-prime base, splitmix finalizer), whole-batch numpy. The
+    content-defined fingerprint for exact dedup where a cryptographic hash
+    is overkill; unlike md5 it composes incrementally at chunk boundaries."""
+    from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
+
+    def task(batches):
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            lens, corpus = bytes_block(b.column("t").cast(pa.large_binary()))
+            fp = _token_hashes(np.frombuffer(corpus, dtype=np.uint8),
+                               lens.astype(np.int64), seed)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(fp.view(np.int64), type=pa.int64())],
+                names=["id", "fp"])
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    return src.mapInArrow(task, "id long, fp long")
