@@ -229,6 +229,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10))
 
+    q["cube_rollup_counts"] = lambda s, d: (
+        _read(s, d, "events")
+        .rollup("event_type", (F.col("user_id") % 4).alias("user_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,2)"))
+              .cast("double").alias("total")))
+
+    q["set_ops_except_intersect"] = lambda s, d: (
+        _read(s, d, "events").filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(_read(s, d, "events")
+                   .filter(F.col("event_type") == "purchase")
+                   .select("user_id"))
+        .exceptAll(_read(s, d, "events")
+                   .filter((F.col("event_type") == "error")
+                           & (F.col("value") > 195))
+                   .select("user_id").distinct()))
+
+    q["scalar_functions_showcase"] = lambda s, d: (
+        _read(s, d, "documents").select(
+            "doc_id",
+            F.upper(F.substring("text", 1, 5)).alias("up5"),
+            F.length(F.trim(F.col("lang"))).alias("lang_len"),
+            F.abs(F.col("n_chars") - 500).alias("dist500"),
+            F.greatest("n_chars", F.lit(100)).alias("gmax"),
+            (F.col("n_chars") % 7).alias("mod7"),
+            F.pow(F.lit(2), F.col("n_chars") % 10).cast("long").alias("p2"),
+            F.concat_ws("-", "lang", "source").alias("tag"),
+            F.reverse(F.col("lang")).alias("rlang"),
+            F.array_join(F.slice(F.split("text", " "), 1, 3), "_")
+             .alias("first3"),
+            F.coalesce(F.nullif(F.col("lang"), F.lit("en")),
+                       F.lit("english")).alias("nz")))
+
     def _sql_api(s, d):
         """The SQL surface (absent in the reference, SURVEY §2.2): the same
         pricing summary expressed as plain Spark SQL over a temp view."""
@@ -473,6 +507,26 @@ def oracle_sql() -> dict[str, str]:
         "WHERE o_orderdate < TIMESTAMP '1998-01-01' "
         "AND l_shipdate > TIMESTAMP '1997-06-01' "
         "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10")
+
+    sql["cube_rollup_counts"] = (
+        "SELECT event_type, user_id % 4 AS user_bucket, count(*) AS n, "
+        "CAST(sum(value::DECIMAL(18,2)) AS DOUBLE) AS total "
+        "FROM events GROUP BY ROLLUP (event_type, user_bucket)")
+    sql["set_ops_except_intersect"] = (
+        "SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase' "
+        "EXCEPT ALL "
+        "SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'error' AND value > 195")
+    sql["scalar_functions_showcase"] = (
+        "SELECT doc_id, upper(substr(text, 1, 5)) AS up5, "
+        "length(trim(lang)) AS lang_len, abs(n_chars - 500) AS dist500, "
+        "greatest(n_chars, 100) AS gmax, n_chars % 7 AS mod7, "
+        "CAST(pow(2, n_chars % 10) AS BIGINT) AS p2, "
+        "concat_ws('-', lang, source) AS tag, reverse(lang) AS rlang, "
+        "array_to_string(string_split(text, ' ')[1:3], '_') AS first3, "
+        "coalesce(nullif(lang, 'en'), 'english') AS nz FROM documents")
 
     sql["sql_api_pricing"] = (
         "SELECT l_returnflag, l_linestatus, "
