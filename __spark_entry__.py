@@ -47,7 +47,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     _tune(spark)
     src = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet")) \
         .select(*cols)
-    n_src = src.count()
+    # expected rows from the parquet footer (metadata-only read — the old
+    # src.count() here was a full extra Spark action per roundtrip query)
+    import pyarrow.parquet as _pq
+    n_src = _pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
     key = hashlib.sha256(
         f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}|v3"
         .encode()).hexdigest()[:16]
@@ -55,7 +59,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     ok = False
     if os.path.exists(os.path.join(out, "_current")):
         try:
-            ok = decode_store(spark, out).count() == n_src
+            # committed manifest row count (metadata-only, no decode job)
+            from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+                ChunkStore,
+            )
+            ok = ChunkStore(out).metrics()["rows"] == n_src
         except Exception:
             ok = False
     if not ok:
@@ -296,14 +304,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _sessionize(s, d):
         from pyspark.sql import Window
-        w = Window.partitionBy("user_id").orderBy("ts")
+        # event_id secondary sort: (user_id, ts) has no ties in the driver
+        # data, but a deterministic lag ordering must not depend on that
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
         new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
             .otherwise(0)
         return (_read(s, d, "events")
                 .withColumn("new_sess", new_sess)
                 .groupBy("user_id")
-                .agg(F.sum("new_sess").alias("n_sessions"),
+                .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
                      F.count(F.lit(1)).alias("n_events")))
     q["sessionize"] = _sessionize
 
@@ -545,24 +555,22 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_nationkey")
-    sql["sessionize"] = (
+    # CAST(sum(...) AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT, which
+    # the driver's value normalization hashes differently from Spark's
+    # bigint even when numerically equal — pin both sides to int64.
+    _sessionize_sql = (
         "WITH g AS (SELECT user_id, "
-        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " IS NULL "
         "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
-        "ORDER BY ts)) > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess "
-        "FROM events) "
-        "SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events "
-        "FROM g GROUP BY user_id")
+        "ORDER BY ts, event_id)) > 30*60*1000000 THEN 1 ELSE 0 END "
+        "AS new_sess FROM events) "
+        "SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, "
+        "count(*) AS n_events FROM g GROUP BY user_id")
+    sql["sessionize"] = _sessionize_sql
 
     # stateful streaming totals == the batch sessionize aggregate
-    sql["streaming_stateful_sessionize"] = (
-        "WITH g AS (SELECT user_id, "
-        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
-        "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id "
-        "ORDER BY ts)) > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess "
-        "FROM events) "
-        "SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events "
-        "FROM g GROUP BY user_id")
+    sql["streaming_stateful_sessionize"] = _sessionize_sql
 
     sql["asof_join_enrich"] = (
         "WITH clicks AS (SELECT event_id, user_id, ts, value FROM events "
@@ -577,11 +585,17 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact_groups"] = (
         "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups "
         "FROM documents GROUP BY md5(text)")
+    # the doc-frequency stop-shingle cap (max_doc_freq=1000) is mirrored
+    # here — the impl drops shingles appearing in >1000 docs before the
+    # self-join, so the oracle must too (latent divergence at larger sf
+    # otherwise: VERDICT r1 "what's wrong" #2)
     sql["dedup_ngram_jaccard"] = (
         "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "
         "FROM documents), "
-        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s "
+        "sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s "
         "FROM words, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)), "
+        "kept AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000), "
+        "sh AS (SELECT doc_id, s FROM sh0 JOIN kept USING (s)), "
         "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
         "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id "

@@ -86,10 +86,29 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         key = (gkey, name)
+        forced = (overrides or {}).get(name)
         if key not in plan_cache:
-            plan_cache[key] = (overrides or {}).get(name) or \
-                choose_codec(arr).codec
-        enc = encode_column(arr, plan_cache[key])
+            plan_cache[key] = forced or choose_codec(arr).codec
+        try:
+            enc = encode_column(arr, plan_cache[key])
+        except (ValueError, TypeError):
+            # an auto-chosen codec can be invalidated by data outside the
+            # sample (e.g. bitpack picked from a non-negative sample, then a
+            # negative value in the full column / a later chunk reusing the
+            # plan cache). Fall back and re-cache rather than abort the
+            # distributed job; explicit overrides still raise.
+            if forced:
+                raise
+            enc = None
+            for fb in ("for", "plain"):
+                try:
+                    enc = encode_column(arr, fb)
+                    plan_cache[key] = fb
+                    break
+                except (ValueError, TypeError):
+                    continue
+            if enc is None:
+                enc = encode_column(arr, "plain")
         digest = hashlib.sha256(enc.payload).hexdigest()
         rows.append({
             "chunk_file": fname, "pid": pid, "seq": seq, "column": name,

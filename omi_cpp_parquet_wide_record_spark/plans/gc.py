@@ -19,8 +19,16 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1) -> dict:
     """Drop all but the newest `keep_last` snapshots plus any manifests and
     chunk files only they referenced. Returns a deletion report."""
     snaps = sorted(os.listdir(store.snapshots_dir))
-    live = snaps[-keep_last:]
-    dead = snaps[:-keep_last]
+    # the snapshot _current points to is live unconditionally — a crash
+    # between snapshot-json write and the pointer flip leaves a lexically
+    # newer snapshot file that _current does NOT reference; keep-last must
+    # never delete the pointed-to one (ADVICE r1 #3)
+    live = set(snaps[-keep_last:])
+    if os.path.exists(store.current_path):
+        with open(store.current_path) as f:
+            live.add(f.read().strip())
+    dead = [s for s in snaps if s not in live]
+    live = sorted(live)
     live_manifests: set[str] = set()
     for name in live:
         with open(os.path.join(store.snapshots_dir, name)) as f:

@@ -77,6 +77,15 @@ class ChunkStore:
         snap = self.current_snapshot()
         return set(snap["committed_pids"]) if snap else set()
 
+    def committed_run_ids(self) -> set[str]:
+        """Every run_id in the live snapshot's manifest lineage (commits
+        append parent manifests, so this covers the whole history) — the
+        epoch-level replay guard for streaming encode."""
+        m = self.manifest_table()
+        if m.num_rows == 0:
+            return set()
+        return set(m.column("run_id").to_pylist())
+
     def manifest_table(self) -> pa.Table:
         """All manifest rows of the live snapshot."""
         snap = self.current_snapshot()

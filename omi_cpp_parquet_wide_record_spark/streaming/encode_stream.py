@@ -59,15 +59,25 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
     from omi_cpp_parquet_wide_record_spark.operators.encode import (
         encode_dataframe,
     )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
     src = (spark.readStream.schema(schema).format("parquet")
            .option("path", src_path).load())
 
     def sink(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
             return
+        # exactly-once = epoch-level idempotence: a replayed micro-batch is
+        # skipped because its run_id is already in the committed lineage.
+        # The pid-level resume anti-filter must stay OFF here (resume=False):
+        # pids are content-derived hashes mod N, so a *new* batch's rows can
+        # collide with pids committed by earlier epochs — filtering on them
+        # would silently drop data (ADVICE r1 #2).
+        run_id = f"epoch-{epoch_id}"
+        if run_id in ChunkStore(out_dir).committed_run_ids():
+            return
         encode_dataframe(batch_df, out_dir, partition_by=partition_by,
                          salt_key=salt_key, num_pids=num_pids,
-                         run_id=f"epoch-{epoch_id}")
+                         run_id=run_id, resume=False)
 
     return (src.writeStream.foreachBatch(sink)
             .trigger(availableNow=True).queryName(query_name).start())
