@@ -336,7 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
         _read(s, d, "documents"), threshold=0.5, n=3)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
-        _read(s, d, "documents"), threshold=0.6)          # rows-only check
+        _read(s, d, "documents"), threshold=0.6)
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
         _read(s, d, "documents"), max_hamming=3)          # rows-only check
 
@@ -351,10 +351,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _read(s, d, "embeddings"),
         _read(s, d, "embeddings").filter(F.col("vec_id") < 10), k=5)
+    # exact O(n^2) crossJoin demoted to a bounded validation subsample —
+    # the scale path for embedding near-dup is ann_lsh_candidates below
     q["dedup_embedding_cosine"] = lambda s, d: similarity.cosine_pairs(
-        _read(s, d, "embeddings"), threshold=0.25)
+        _read(s, d, "embeddings").filter(F.col("vec_id") < 200),
+        threshold=0.25)
     q["ann_lsh_candidates"] = lambda s, d: similarity.lsh_cosine_candidates(
-        _read(s, d, "embeddings"), threshold=0.2)         # rows-only check
+        _read(s, d, "embeddings"), threshold=0.2)
     q["ann_ivf_assign"] = lambda s, d: similarity.ivf_assign(
         _read(s, d, "embeddings"))                        # rows-only check
 
@@ -670,8 +673,84 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_embedding_cosine"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         f"floor(({cos_ab}) * 10000) / 10000 AS cosine "
-        "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id "
+        "FROM embeddings a, embeddings b "
+        "WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200 "
         f"AND floor(({cos_ab}) * 10000) / 10000 >= 0.25")
+
+    # integer-exact LSH: hyperplane weights are lowbias32 ints (every
+    # intermediate < 2^63, so DuckDB BIGINT reproduces them term-for-term)
+    # and embeddings are quantized to fixed-point by a power-of-two scale
+    # (exact in binary FP) — bucket membership is therefore bit-identical
+    # between the numpy kernel and this SQL, making the sub-quadratic path
+    # itself oracle-checked, not just its re-rank.
+    # constants: seed 42 -> 42*131071 = 5504982; 12 planes x 64 dims = 768;
+    # 3 bands of width 4; fixed-point scale 2^20 = 1048576.
+    sql["ann_lsh_candidates"] = (
+        "WITH w0 AS (SELECT i, ((i + 5504982) * 2654435761) % 4294967296 "
+        "AS v FROM range(768) t(i)), "
+        "w1 AS (SELECT i, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM w0), "
+        "w2 AS (SELECT i, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM w1), "
+        "w AS (SELECT i // 64 AS plane, i % 64 AS d, "
+        "xor(v, v >> 16) % 2001 - 1000 AS wt FROM w2), "
+        "q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) "
+        "AS qv FROM embeddings), "
+        "bits AS (SELECT q.vec_id, w.plane, "
+        "CASE WHEN sum(q.qv * w.wt) > 0 THEN 1 ELSE 0 END AS bit "
+        "FROM q JOIN w USING (d) GROUP BY 1, 2), "
+        "bk AS (SELECT vec_id, CAST(plane // 4 AS INT) AS band, "
+        "CAST(sum(bit << (plane % 4)) AS BIGINT) AS bh FROM bits "
+        "GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM bk a JOIN bk b USING (band, bh) WHERE a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, "
+        f"floor(({cos_ab}) * 10000) / 10000 AS cosine "
+        "FROM cand JOIN embeddings a ON a.vec_id = id_a "
+        "JOIN embeddings b ON b.vec_id = id_b "
+        f"WHERE floor(({cos_ab}) * 10000) / 10000 >= 0.2")
+
+    # mod-p MinHash (p = 2^31-1, base-257 char 5-gram polynomial, lowbias32
+    # perm params with seed 42 -> 42*1000003 = 42000126): every intermediate
+    # fits in BIGINT, so the oracle regenerates the exact signatures, band
+    # hashes, candidate set, and lane-match fractions. 32 perms, 8 bands of
+    # 4 lanes, band hash = base-31 positional fold.
+    sql["dedup_minhash_lsh"] = (
+        "WITH pm0 AS (SELECT u, ((u + 42000126) * 2654435761) % 4294967296 "
+        "AS v FROM range(64) t(u)), "
+        "pm1 AS (SELECT u, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM pm0), "
+        "pm2 AS (SELECT u, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM pm1), "
+        "pm AS (SELECT u, xor(v, v >> 16) AS v FROM pm2), "
+        "perms AS (SELECT CAST(a.u // 2 AS INT) AS k, "
+        "a.v % 2147483646 + 1 AS pa, b.v % 2147483647 AS pb "
+        "FROM pm a JOIN pm b ON b.u = a.u + 1 WHERE a.u % 2 = 0), "
+        "d0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 5), "
+        "win AS (SELECT doc_id, "
+        "((((CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) "
+        "% 2147483647 * 257 "
+        "+ ascii(substr(text, CAST(i AS INT)+1, 1))) % 2147483647 * 257 "
+        "+ ascii(substr(text, CAST(i AS INT)+2, 1))) % 2147483647 * 257 "
+        "+ ascii(substr(text, CAST(i AS INT)+3, 1))) % 2147483647 * 257 "
+        "+ ascii(substr(text, CAST(i AS INT)+4, 1))) % 2147483647 AS h "
+        "FROM d0, UNNEST(range(1, length(text) - 3)) t(i)), "
+        "sig AS (SELECT doc_id, k, min((pa * h + pb) % 2147483647) AS lane "
+        "FROM win CROSS JOIN perms GROUP BY 1, 2), "
+        "bands AS (SELECT doc_id, CAST(k // 4 AS INT) AS band, "
+        "CAST(sum(lane * (CASE k % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 "
+        "WHEN 2 THEN 961 ELSE 29791 END)) AS BIGINT) AS bh "
+        "FROM sig GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b USING (band, bh) "
+        "WHERE a.doc_id < b.doc_id), "
+        "est AS (SELECT c.id_a, c.id_b, "
+        "sum(CASE WHEN sa.lane = sb.lane THEN 1 ELSE 0 END) / 32.0 "
+        "AS est_jaccard "
+        "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a "
+        "JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k GROUP BY 1, 2) "
+        "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.6")
 
     sql["mm_metadata"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "

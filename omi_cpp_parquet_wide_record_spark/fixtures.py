@@ -34,6 +34,18 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def lowbias32(x: np.ndarray) -> np.ndarray:
+    """Vectorized 32-bit integer hash (lowbias32 constants), computed in
+    int64 so every intermediate stays < 2^63 — the property that lets a SQL
+    oracle (DuckDB BIGINT, which errors on overflow instead of wrapping)
+    reproduce it term-for-term. Input ints must be non-negative and < ~2^31.
+    """
+    v = (x.astype(np.int64) * 2654435761) % 4294967296
+    v = ((v ^ (v >> 16)) * 73244475) % 4294967296
+    v = ((v ^ (v >> 16)) * 73244475) % 4294967296
+    return v ^ (v >> 16)
+
+
 def _lane(ids: np.ndarray, salt: int, seed: int) -> np.ndarray:
     key = splitmix64(np.array([(seed * 1315423911 + salt) & 0xFFFFFFFFFFFFFFFF],
                               dtype=np.uint64))[0]

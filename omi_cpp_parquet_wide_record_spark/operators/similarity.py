@@ -79,6 +79,9 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
 
 # ------------------------------------------------- LSH (random hyperplane)
 
+LSH_SCALE = 1 << 20      # fixed-point quantization of embedding values
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic gaussian-ish hyperplanes from splitmix64 lanes
     (sum of 4 uniforms, CLT-normalized) — identical on every executor."""
@@ -89,11 +92,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return u.reshape(n_planes, dim, 4).sum(axis=2)
 
 
+def int_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Integer hyperplanes, weights in [-1000, 1000], from lowbias32 over
+    small ints. Identical on every executor AND reproducible in plain SQL
+    (every intermediate < 2^63) — so bucket membership itself is
+    oracle-checkable, not just the re-rank."""
+    from omi_cpp_parquet_wide_record_spark.fixtures import lowbias32
+    x = np.arange(n_planes * dim, dtype=np.int64) + seed * 131071
+    return (lowbias32(x) % 2001 - 1000).reshape(n_planes, dim)
+
+
 def lsh_bucket_signatures(df: DataFrame, n_planes: int = 16,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           seed: int = 42) -> DataFrame:
     """(id, bucket: long) — sign pattern of hyperplane projections.
-    numpy matmul per Arrow batch; zero per-row Python."""
+
+    The projection is exact integer arithmetic: embedding values are
+    quantized to fixed-point (floor(v * 2^20) — exact in binary FP since the
+    scale is a power of two) and dotted with integer hyperplanes, so the
+    sign, and therefore the bucket, is bit-deterministic across executors,
+    engines, and BLAS summation orders. numpy int64 matmul per Arrow batch;
+    zero per-row Python."""
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     state = {"planes": None}
 
@@ -107,8 +126,9 @@ def lsh_bucket_signatures(df: DataFrame, n_planes: int = 16,
                 continue
             dim = len(flat) // n
             if state["planes"] is None or state["planes"].shape[1] != dim:
-                state["planes"] = _hyperplanes(dim, n_planes, seed)
-            proj = flat.reshape(n, dim) @ state["planes"].T   # (n, planes)
+                state["planes"] = int_hyperplanes(dim, n_planes, seed)
+            q = np.floor(flat * LSH_SCALE).astype(np.int64).reshape(n, dim)
+            proj = q @ state["planes"].T                      # (n, planes)
             bits = (proj > 0).astype(np.uint64)
             bucket = np.zeros(n, dtype=np.uint64)
             for j in range(n_planes):

@@ -52,7 +52,8 @@ def run_stream_once(spark: SparkSession, src_path: str, schema,
 def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
                   partition_by: list[str] | None = None,
                   salt_key: str | None = None, num_pids: int = 32,
-                  query_name: str = "owr_stream_encode"):
+                  query_name: str = "owr_stream_encode",
+                  checkpoint_dir: str | None = None):
     """Streaming encode: every micro-batch flows through encode_dataframe
     via foreachBatch; the snapshot commit per batch gives exactly-once
     output (replayed batches hit the resume anti-filter)."""
@@ -79,5 +80,12 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
                          salt_key=salt_key, num_pids=num_pids,
                          run_id=run_id, resume=False)
 
+    # epoch ids only advance across restarts when the source offsets are
+    # checkpointed — default the checkpoint next to the store so a restarted
+    # job sees only new files (new epochs), and a true replay of an old
+    # epoch hits the run_id guard above
+    import os
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     return (src.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).queryName(query_name).start())

@@ -226,3 +226,80 @@ def test_asof_join(spark):
                          right_cols=["px"]).collect()}
     assert out[(1, 10)] == 1.0 and out[(1, 25)] == 2.0
     assert out[(2, 5)] is None and out[(2, 100)] == 3.0
+
+
+def test_bitpack_fallback_outside_sample(spark, tmp_path):
+    """An auto-chosen bitpack (from a non-negative sample head) must fall
+    back, not abort, when the full column holds a negative value
+    (ADVICE r1 #1: choose_codec samples head+stride; a negative outside the
+    sample used to raise ValueError mid-job)."""
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    n = 20000
+    rows = [(i, 7 if i != n - 1 else -5) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, v long").coalesce(1)
+    out = str(tmp_path / "store")
+    encode_dataframe(df, out, salt_key="id", num_pids=1, chunk_rows=1 << 20)
+    got = decode_store(spark, out)
+    assert got.count() == n
+    assert got.agg({"v": "min"}).collect()[0][0] == -5
+
+
+def test_stream_encode_multi_batch_no_loss(spark, tmp_path):
+    """Multi-batch streaming encode must keep every row even when a later
+    batch's content-derived pids collide with committed ones (ADVICE r1 #2:
+    the pid resume filter used to silently drop colliding new rows)."""
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+        stream_encode,
+    )
+    src_dir = str(tmp_path / "src")
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(100)],
+                                "id long, s string")
+    df2 = spark.createDataFrame([(i, f"b{i}") for i in range(100, 200)],
+                                "id long, s string")
+    df1.coalesce(1).write.parquet(src_dir)
+    out = str(tmp_path / "store")
+    # first micro-batch
+    q = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                      num_pids=2, query_name="t_se1")
+    q.awaitTermination(120)
+    # second file arrives -> second micro-batch; pids (hash mod 2) collide
+    # with batch 1's committed pids with certainty
+    df2.coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                       num_pids=2, query_name="t_se2")
+    q2.awaitTermination(120)
+    assert decode_store(spark, out).count() == 200
+
+
+def test_gc_keeps_pointed_snapshot(spark, tmp_path):
+    """expire_snapshots must never delete the snapshot _current points to,
+    even when a crashed run left a lexically newer snapshot file
+    (ADVICE r1 #3)."""
+    import json
+    import os
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    out = str(tmp_path / "store")
+    corpus = FX.web_pages_df(spark, 400, partitions=1)
+    encode_dataframe(corpus, out, salt_key="url", num_pids=2)
+    store = ChunkStore(out)
+    # simulate a crash after snapshot write but before the pointer flip:
+    # a newer snapshot json exists that _current does not reference
+    with open(store.current_path) as f:
+        live_name = f.read().strip()
+    crashed = os.path.join(store.snapshots_dir, "snapshot-99999.json")
+    with open(crashed, "w") as f:
+        json.dump({"n": 99999, "manifests": [], "committed_pids": []}, f)
+    expire_snapshots(store, keep_last=1)
+    assert os.path.exists(os.path.join(store.snapshots_dir, live_name))
+    assert store.current_snapshot() is not None
+    assert decode_store(spark, out).count() == 400
