@@ -105,6 +105,41 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
+_CAPTURE_DIR = "/tmp/owr_capture_v1"
+
+
+def _ensure_capture_fixtures() -> tuple[str, str]:
+    """Deterministic pcap capture + golden parquets under /tmp, created once
+    (both queries() and oracle_sql() call this, so the files exist no matter
+    which side the driver evaluates first).
+
+    - capture_nasdaq.pcap: 4000 wide rows serialized to real pcap bytes
+      (Ethernet / VLAN / IPv4 / UDP framing + non-UDP noise frames)
+    - golden_pcap_nasdaq.parquet: the capture decoded by the independent
+      scalar reference-style parser (fixtures.reference_parse_pcap),
+      written with the reference writer config
+    - golden_wide_nasdaq.parquet: the wide fixture itself (the expected
+      output of packets_table -> parse_packets)
+    """
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    os.makedirs(_CAPTURE_DIR, exist_ok=True)
+    pcap_path = os.path.join(_CAPTURE_DIR, "capture_nasdaq.pcap")
+    golden_pcap = os.path.join(_CAPTURE_DIR, "golden_pcap_nasdaq.parquet")
+    golden_wide = os.path.join(_CAPTURE_DIR, "golden_wide_nasdaq.parquet")
+    if not (os.path.exists(pcap_path) and os.path.exists(golden_pcap)
+            and os.path.exists(golden_wide)):
+        data = FX.pcap_capture(4000, "nasdaq")
+        tmp = pcap_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, pcap_path)
+        FX.write_golden_parquet(FX.reference_parse_pcap(data, "nasdaq"),
+                                golden_pcap)
+        FX.write_golden_parquet(FX.wide_itch_table(4000, "nasdaq"),
+                                golden_wide)
+    return pcap_path, golden_pcap
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -377,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from omi_cpp_parquet_wide_record_spark.operators.wide_record import (
             parse_packets,
         )
+        _ensure_capture_fixtures()
         pkts = FX.packets_table(4000, which)
         pdf = s.createDataFrame(pkts.to_pandas()).repartition(4)
         out = parse_packets(pdf, which)
@@ -384,7 +420,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pcap_index", "message_sequence", "message_index", "message_type",
             "stock", "price", "shares", "order_reference_number",
             F.unix_micros("pcap_timestamp").alias("pcap_ts_us"))
-    q["wide_record_parse"] = _parse_packets                # rows-only check
+    q["wide_record_parse"] = _parse_packets
+
+    def _pcap_parse(s, d):
+        """O1+O2 on real capture bytes: pcap file scan (binaryFile + record
+        framing) -> eth/VLAN/IPv4/UDP strip -> full wide-record decode, all
+        67 columns hash-compared against a golden parquet produced by an
+        independent scalar reference-style parser from the same bytes."""
+        from omi_cpp_parquet_wide_record_spark.operators.wide_record import (
+            parse_packets,
+        )
+        from omi_cpp_parquet_wide_record_spark.sources.pcap import read_pcap
+        pcap_path, _ = _ensure_capture_fixtures()
+        _tune(s)
+        out = parse_packets(read_pcap(s, pcap_path), "nasdaq")
+        return (out.withColumn("pcap_ts_us", F.unix_micros("pcap_timestamp"))
+                .drop("pcap_timestamp"))
+    q["pcap_parse"] = _pcap_parse
 
     def _metrics(s, d):
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
@@ -751,6 +803,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a "
         "JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k GROUP BY 1, 2) "
         "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.6")
+
+    # capture-pipeline oracles: DuckDB reads the golden parquets written by
+    # the independent scalar reference-style parser / the wide fixture —
+    # the Spark side decodes the same bytes through the vectorized path
+    pcap_path, golden_pcap = _ensure_capture_fixtures()
+    golden_wide = os.path.join(_CAPTURE_DIR, "golden_wide_nasdaq.parquet")
+    sql["wide_record_parse"] = (
+        "SELECT pcap_index, message_sequence, message_index, message_type, "
+        "stock, price, shares, order_reference_number, "
+        "epoch_us(pcap_timestamp) AS pcap_ts_us "
+        f"FROM read_parquet('{golden_wide}')")
+    sql["pcap_parse"] = (
+        "SELECT * EXCLUDE (pcap_timestamp), "
+        "epoch_us(pcap_timestamp) AS pcap_ts_us "
+        f"FROM read_parquet('{golden_pcap}')")
 
     sql["mm_metadata"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "

@@ -440,3 +440,143 @@ def packets_table(rows: int, which: str = "nasdaq",
         "pcap_usec": pa.array(usecs, type=pa.int64()),
         "payload": _bin_array(payloads, pa.binary()),
     })
+
+
+# --------------------------------------------------- F5 pcap capture fixture
+
+def _ipv4_header(payload_len: int, proto: int, ident: int,
+                 opts: bytes = b"") -> bytes:
+    ihl = 5 + len(opts) // 4
+    total = 20 + len(opts) + payload_len
+    return (bytes([0x40 | ihl, 0]) + total.to_bytes(2, "big")
+            + (ident & 0xFFFF).to_bytes(2, "big") + b"\x00\x00"
+            + bytes([64, proto]) + b"\x00\x00"
+            + bytes([10, 0, 0, 1]) + bytes([239, 192, 0, 1]) + opts)
+
+
+def pcap_capture(rows: int, which: str = "nasdaq", seed: int = 42) -> bytes:
+    """Serialize packets_table(rows) into a real pcap byte stream.
+
+    Frames are Ethernet / optional stacked VLAN tags / IPv4 (some with
+    header options, IHL=6) / UDP / MoldUDP64 payload. Deterministic non-UDP
+    noise frames (TCP segments, ARP requests) are interleaved — the protocol
+    filter must drop them while still bumping pcap_index (ref NQ:3403).
+    """
+    from omi_cpp_parquet_wide_record_spark.sources.pcap import (
+        write_pcap_header,
+    )
+    pkts = packets_table(rows, which, seed)
+    secs = pkts.column("pcap_sec").to_pylist()
+    usecs = pkts.column("pcap_usec").to_pylist()
+    pays = pkts.column("payload").to_pylist()
+    n = len(pays)
+    draws = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed * 31337))
+
+    mac = b"\x02\x00\x00\x00\x00\x01" + b"\x02\x00\x00\x00\x00\x02"
+    out = [write_pcap_header()]
+
+    def record(sec: int, usec: int, frame: bytes) -> bytes:
+        return (sec.to_bytes(4, "little") + usec.to_bytes(4, "little")
+                + len(frame).to_bytes(4, "little") * 2 + frame)
+
+    for i in range(n):
+        d = int(draws[i])
+        # deterministic noise frames BEFORE some data packets
+        if d % 5 == 0:          # TCP segment: IPv4 but not UDP
+            tcp = b"\x30\x39\x00\x50" + b"\x00" * 16 + b"noise"
+            frame = mac + b"\x08\x00" + _ipv4_header(len(tcp), 6, i) + tcp
+            out.append(record(secs[i], max(usecs[i] - 1, 0), frame))
+        if d % 11 == 3:         # ARP request: not IPv4 at all
+            arp = (b"\x00\x01\x08\x00\x06\x04\x00\x01" + b"\x00" * 20)
+            frame = mac + b"\x08\x06" + arp
+            out.append(record(secs[i], max(usecs[i] - 1, 0), frame))
+        vlans = b""
+        if d % 3 == 0:          # single VLAN tag
+            vlans = b"\x81\x00\x00\x2a"
+        if d % 9 == 1:          # stacked QinQ pair
+            vlans = b"\x81\x00\x00\x64\x81\x00\x00\x2a"
+        opts = b"\x01\x01\x01\x01" if d % 7 == 0 else b""   # IHL=6 variant
+        udp = (b"\x30\x39" + b"\x67\x6d"
+               + (8 + len(pays[i])).to_bytes(2, "big") + b"\x00\x00"
+               + pays[i])
+        frame = (mac + vlans + b"\x08\x00"
+                 + _ipv4_header(len(udp), 17, i, opts) + udp)
+        out.append(record(secs[i], usecs[i], frame))
+    return b"".join(out)
+
+
+def reference_parse_pcap(data: bytes, which: str = "nasdaq") -> pa.Table:
+    """Independent scalar re-implementation of the reference converter's
+    packet loop — row-at-a-time, exactly the shape of the C++ original
+    (pcap loop NQ:3792-3808, protocol strip NQ:3401-3434, message loop
+    NQ:3451-3462, per-type field parse NQ:3557-3769). Used only to produce
+    golden tables at test scale: the vectorized Spark path and this scalar
+    path are two independent implementations that must agree bit-for-bit.
+    """
+    from omi_cpp_parquet_wide_record_spark import schema as S
+    kinds = S.NASDAQ_PAYLOAD_KINDS if which == "nasdaq" else S.JNX_PAYLOAD_KINDS
+    type_fields = (S.NASDAQ_TYPE_FIELDS if which == "nasdaq"
+                   else S.JNX_TYPE_FIELDS)
+    sch = S.NASDAQ_WIDE if which == "nasdaq" else S.JNX_WIDE
+
+    endian = "big" if data[:4] == b"\xa1\xb2\xc3\xd4" else "little"
+    rows: list[dict] = []
+    pos, pcap_index = 24, 0
+    while pos + 16 <= len(data):
+        sec = int.from_bytes(data[pos:pos + 4], endian)
+        usec = int.from_bytes(data[pos + 4:pos + 8], endian)
+        incl = int.from_bytes(data[pos + 8:pos + 12], endian)
+        frame = data[pos + 16:pos + 16 + incl]
+        pos += 16 + incl
+        pcap_index += 1                       # bumps for EVERY frame, NQ:3403
+        # ethernet + VLAN stepping (NQ:3410-3412)
+        et = 12
+        while frame[et] << 8 | frame[et + 1] == 0x8100:
+            et += 4
+        if frame[et] << 8 | frame[et + 1] != 0x0800:
+            continue
+        ip = et + 2
+        ihl = (frame[ip] & 0x0F) * 4
+        if frame[ip + 9] != 17:               # UDP test, NQ:3421
+            continue
+        udp = ip + ihl
+        udp_len = frame[udp + 4] << 8 | frame[udp + 5]
+        pay = frame[udp + 8:udp + udp_len]
+        # MoldUDP64 envelope (NQ:3447-3449) + message loop (NQ:3451-3462)
+        session = pay[:10].decode()
+        header_seq = int.from_bytes(pay[10:18], "big")
+        count = int.from_bytes(pay[18:20], "big")
+        cur = 20
+        for m in range(1, count + 1):
+            mlen = int.from_bytes(pay[cur:cur + 2], "big")
+            cur += 2
+            mtype = pay[cur]
+            body = pay[cur + 1:cur + mlen]
+            cur += mlen
+            row = dict.fromkeys(sch.names)
+            row.update(pcap_index=pcap_index,
+                       pcap_timestamp=sec * 1_000_000 + usec,
+                       session=session,
+                       message_sequence=header_seq + m,   # off-by-one kept
+                       message_index=m, message_type=mtype)
+            o = 0
+            for f in type_fields[chr(mtype)]:
+                kind, width = kinds[f]
+                if kind == "str":
+                    # trim at FIRST space (NQ:2678-2685)
+                    row[f] = body[o:o + width].split(b" ")[0].decode()
+                    o += width
+                else:
+                    w = _KIND_WIDTH[kind]
+                    row[f] = int.from_bytes(body[o:o + w], "big")
+                    o += w
+            rows.append(row)
+
+    arrays = []
+    for field in sch:
+        vals = [r[field.name] for r in rows]
+        if pa.types.is_timestamp(field.type):
+            arrays.append(pa.array(vals, type=pa.int64()).cast(field.type))
+        else:
+            arrays.append(pa.array(vals, type=field.type))
+    return pa.Table.from_arrays(arrays, schema=sch)

@@ -187,15 +187,20 @@ def parse_packets_batch(batch: pa.RecordBatch, which: str = "nasdaq",
 def parse_packets(packets: DataFrame, which: str = "nasdaq") -> DataFrame:
     """Distributed capture decode: packets (pcap_sec, pcap_usec, payload) ->
     the reference's wide-record DataFrame. The dense packet index (O3) is
-    attached first; each task then parses its packets fully vectorized."""
+    attached first — unless the source already carries one (the pcap file
+    reader emits per-file indexes that count dropped non-UDP frames,
+    ref NQ:3403); each task then parses its packets fully vectorized."""
     from pyspark.sql.pandas.types import from_arrow_schema
     from omi_cpp_parquet_wide_record_spark.operators.etl import dense_row_index
 
     sch = S.NASDAQ_WIDE if which == "nasdaq" else S.JNX_WIDE
-    indexed = dense_row_index(
-        packets.selectExpr("pcap_sec", "pcap_usec", "payload",
-                           "(pcap_sec * 1000000 + pcap_usec) AS __ts"),
-        "__ts", out_col="pcap_index").drop("__ts")
+    if "pcap_index" in packets.columns:
+        indexed = packets
+    else:
+        indexed = dense_row_index(
+            packets.selectExpr("pcap_sec", "pcap_usec", "payload",
+                               "(pcap_sec * 1000000 + pcap_usec) AS __ts"),
+            "__ts", out_col="pcap_index").drop("__ts")
 
     def task(batches):
         for b in batches:
