@@ -34,24 +34,50 @@ def fake_media_df(df: DataFrame, id_col: str = "doc_id",
             ids = b.column("id").to_numpy()
             if len(ids) == 0:
                 continue
+            n = len(ids)
             w = (8 + splitmix64(ids.astype(np.uint64) + np.uint64(seed)) %
                  np.uint64(24)).astype(np.int64)
             h = (8 + splitmix64(ids.astype(np.uint64) * np.uint64(3) +
                                 np.uint64(seed)) % np.uint64(24)).astype(np.int64)
-            payloads = []
-            for i, (wi, hi) in enumerate(zip(w.tolist(), h.tolist())):
-                body = (splitmix64(np.arange(wi * hi // 8 + 1, dtype=np.uint64)
-                                   + np.uint64(ids[i]))
-                        .view(np.uint8)[: wi * hi])
-                payloads.append(FAKE_MAGIC + wi.to_bytes(2, "little")
-                                + hi.to_bytes(2, "little") + body.tobytes())
+            npix = w * h
+            # pixel bodies, whole-batch: per image i the body bytes are
+            # splitmix64(arange(npix_i//8+1) + id_i) viewed as u8, truncated
+            # to npix_i — generated for all images via one segmented arange
+            nlane = npix // 8 + 1
+            lseg = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(nlane, out=lseg[1:])
+            lane_pos = np.arange(int(lseg[-1]), dtype=np.int64) \
+                - np.repeat(lseg[:-1], nlane)
+            lanes = splitmix64(lane_pos.astype(np.uint64)
+                               + np.repeat(ids, nlane).astype(np.uint64))
+            lane_bytes = lanes.view(np.uint8)     # 8 bytes per lane, ordered
+            # output layout: per image 11-byte header + npix pixel bytes
+            out_len = 11 + npix
+            oseg = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(out_len, out=oseg[1:])
+            flat = np.zeros(int(oseg[-1]), dtype=np.uint8)
+            starts = oseg[:-1]
+            magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
+            for j in range(7):
+                flat[starts + j] = magic[j]
+            flat[starts + 7] = w & 0xFF
+            flat[starts + 8] = w >> 8
+            flat[starts + 9] = h & 0xFF
+            flat[starts + 10] = h >> 8
+            ppos = np.arange(int(npix.sum()), dtype=np.int64) \
+                - np.repeat(np.concatenate(([0], np.cumsum(npix)))[:-1], npix)
+            flat[np.repeat(starts + 11, npix) + ppos] = \
+                lane_bytes[np.repeat(lseg[:-1] * 8, npix) + ppos]
+            media = pa.Array.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(oseg.tobytes()),
+                 pa.py_buffer(flat.tobytes())]).cast(pa.binary())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()),
-                 pa.array(payloads, type=pa.binary()),
+                [pa.array(ids, type=pa.int64()), media,
                  pa.StructArray.from_arrays(
                      [pa.array(w, type=pa.int32()),
                       pa.array(h, type=pa.int32()),
-                      pa.array(["image/owr-fake"] * len(ids))],
+                      pa.array(["image/owr-fake"] * n)],
                      names=["width", "height", "mime"])],
                 names=["id", "media", "meta"])
 
@@ -72,68 +98,121 @@ def _decode_payload(buf: bytes) -> np.ndarray:
     return np.frombuffer(buf[11:11 + w * h], dtype=np.uint8).reshape(h, w)
 
 
+def _decode_batch(media: pa.Array) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray, np.ndarray]:
+    """Whole-batch fake-format decode: (w, h, body_off, corpus) for every
+    payload at once — the batch analogue of _decode_payload. A payload that
+    is not the fake format routes through _decode_payload to raise the
+    documented NotImplementedError."""
+    from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
+    lens, corpus_mv = bytes_block(media.cast(pa.large_binary()))
+    corpus = np.frombuffer(corpus_mv, dtype=np.uint8)
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    starts = starts[:-1]
+    magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
+    ok = np.ones(len(lens), dtype=bool)
+    ok &= lens >= 11
+    for j in range(7):
+        ok &= corpus[np.minimum(starts + j, len(corpus) - 1)] == magic[j]
+    if not ok.all():
+        bad = int(np.flatnonzero(~ok)[0])
+        _decode_payload(bytes(corpus[starts[bad]:starts[bad] + lens[bad]]))
+    w = (corpus[starts + 7].astype(np.int64)
+         | (corpus[starts + 8].astype(np.int64) << 8))
+    h = (corpus[starts + 9].astype(np.int64)
+         | (corpus[starts + 10].astype(np.int64) << 8))
+    return w, h, starts + 11, corpus
+
+
+def _sample_grid(w: np.ndarray, h: np.ndarray, body_off: np.ndarray,
+                 corpus: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """(n, out_h, out_w) nearest-neighbor sample of every image at once:
+    one fancy-index gather, no per-image loop."""
+    ys = np.minimum((np.arange(out_h)[None, :] * h[:, None]) // out_h,
+                    (h - 1)[:, None])                       # (n, out_h)
+    xs = np.minimum((np.arange(out_w)[None, :] * w[:, None]) // out_w,
+                    (w - 1)[:, None])                       # (n, out_w)
+    idx = (body_off[:, None, None]
+           + ys[:, :, None] * w[:, None, None]
+           + xs[:, None, :])                                # (n, out_h, out_w)
+    return corpus[idx]
+
+
 def media_features(df: DataFrame, media_col: str = "media",
                    id_col: str = "id") -> DataFrame:
     """Feature extraction over binary media: (id, width, height, mean, std,
-    phash: long). Arrow-batched; per-image decode is numpy-only."""
+    phash: long). Whole-batch numpy: per-image mean/std are segmented
+    reduceat folds over one flat pixel gather; the 8x8 average-hash is one
+    (n, 8, 8) gather — zero per-row Python (north rule)."""
 
     def task(batches):
         for b in batches:
             ids = b.column(id_col).to_numpy()
-            media = b.column(media_col)
-            rows = {"id": [], "width": [], "height": [], "mean": [],
-                    "std": [], "phash": []}
-            for i in range(len(ids)):
-                img = _decode_payload(media[i].as_py())
-                rows["id"].append(int(ids[i]))
-                rows["width"].append(img.shape[1])
-                rows["height"].append(img.shape[0])
-                rows["mean"].append(round(float(img.mean()), 4))
-                rows["std"].append(round(float(img.std()), 4))
-                # 8x8 average-hash: resize by block mean, threshold at mean
-                bh = _avg_hash(img)
-                rows["phash"].append(int(np.int64(np.uint64(bh))))
-            yield pa.RecordBatch.from_pydict(
-                rows, schema=pa.schema([
-                    ("id", pa.int64()), ("width", pa.int32()),
-                    ("height", pa.int32()), ("mean", pa.float64()),
-                    ("std", pa.float64()), ("phash", pa.int64())]))
+            if len(ids) == 0:
+                continue
+            w, h, body_off, corpus = _decode_batch(b.column(media_col))
+            npix = w * h
+            seg = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(npix, out=seg[1:])
+            pos = np.arange(int(seg[-1]), dtype=np.int64) \
+                - np.repeat(seg[:-1], npix)
+            pix = corpus[np.repeat(body_off, npix) + pos].astype(np.float64)
+            sums = np.add.reduceat(pix, seg[:-1])
+            means = sums / npix
+            sq = np.add.reduceat(pix * pix, seg[:-1])
+            stds = np.sqrt(np.maximum(sq / npix - means * means, 0.0))
+
+            small = _sample_grid(w, h, body_off, corpus, 8, 8) \
+                .astype(np.float64)
+            bits = (small > small.mean(axis=(1, 2))[:, None, None]) \
+                .astype(np.uint64).reshape(len(ids), 64)
+            phash = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, type=pa.int64()),
+                 pa.array(w.astype(np.int32), type=pa.int32()),
+                 pa.array(h.astype(np.int32), type=pa.int32()),
+                 pa.array(np.round(means, 4), type=pa.float64()),
+                 pa.array(np.round(stds, 4), type=pa.float64()),
+                 pa.array(phash.view(np.int64), type=pa.int64())],
+                names=["id", "width", "height", "mean", "std", "phash"])
 
     return df.mapInArrow(
         task, "id long, width int, height int, mean double, std double, "
               "phash long")
 
 
-def _avg_hash(img: np.ndarray) -> int:
-    h, w = img.shape
-    ys = (np.arange(8) * h) // 8
-    xs = (np.arange(8) * w) // 8
-    small = img[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)].astype(np.float64)
-    bits = (small > small.mean()).astype(np.uint64).ravel()
-    return int((bits << np.arange(64, dtype=np.uint64)).sum())
-
-
 def resize_media(df: DataFrame, out_w: int = 8, out_h: int = 8,
                  media_col: str = "media", id_col: str = "id") -> DataFrame:
-    """Resize (nearest-neighbor) inside the fake format — exercises the
-    binary-in/binary-out transform shape used for real thumbnailing."""
+    """Resize (nearest-neighbor) inside the fake format — binary-in/
+    binary-out thumbnailing, whole-batch: every output image is one slab of
+    a single (n, 11 + out_pixels) uint8 matrix (constant-width rows, so the
+    Arrow offsets are an arange); pixels arrive via one gather."""
+    header = np.frombuffer(
+        FAKE_MAGIC + out_w.to_bytes(2, "little") + out_h.to_bytes(2, "little"),
+        dtype=np.uint8)
+    out_pix = out_w * out_h
+    row_len = 11 + out_pix
 
     def task(batches):
         for b in batches:
             ids = b.column(id_col).to_numpy()
-            media = b.column(media_col)
-            out = []
-            for i in range(len(ids)):
-                img = _decode_payload(media[i].as_py())
-                h, w = img.shape
-                ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
-                xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
-                small = img[ys][:, xs]
-                out.append(FAKE_MAGIC + out_w.to_bytes(2, "little")
-                           + out_h.to_bytes(2, "little") + small.tobytes())
+            if len(ids) == 0:
+                continue
+            w, h, body_off, corpus = _decode_batch(b.column(media_col))
+            n = len(ids)
+            flat = np.empty((n, row_len), dtype=np.uint8)
+            flat[:, :11] = header
+            flat[:, 11:] = _sample_grid(w, h, body_off, corpus,
+                                        out_w, out_h).reshape(n, out_pix)
+            offs = np.arange(n + 1, dtype=np.int64) * row_len
+            media = pa.Array.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(offs.tobytes()),
+                 pa.py_buffer(flat.tobytes())]).cast(pa.binary())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()),
-                 pa.array(out, type=pa.binary())],
+                [pa.array(ids, type=pa.int64()), media],
                 names=["id", "media"])
 
     return df.mapInArrow(task, "id long, media binary")

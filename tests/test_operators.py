@@ -303,3 +303,39 @@ def test_gc_keeps_pointed_snapshot(spark, tmp_path):
     assert os.path.exists(os.path.join(store.snapshots_dir, live_name))
     assert store.current_snapshot() is not None
     assert decode_store(spark, out).count() == 400
+
+
+def test_multimodal_batch_matches_scalar(spark, docs):
+    """The whole-batch media kernels must agree value-for-value with a
+    scalar per-image recomputation through the documented stub decoder
+    (independent-implementation check, same pattern as the pcap golden)."""
+    import numpy as np
+    from omi_cpp_parquet_wide_record_spark.operators.multimodal import (
+        _decode_payload,
+    )
+    media = multimodal.fake_media_df(docs)
+    raw = {r.id: bytes(r.media) for r in media.collect()}
+    feats = {r.id: r for r in multimodal.media_features(media).collect()}
+    assert set(feats) == set(raw)
+    for i, buf in raw.items():
+        img = _decode_payload(buf)
+        r = feats[i]
+        assert (r.height, r.width) == img.shape
+        assert r.mean == round(float(img.astype(np.float64).mean()), 4)
+        # scalar 8x8 average hash
+        h, w = img.shape
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        small = img[ys][:, xs].astype(np.float64)
+        bits = (small > small.mean()).astype(np.uint64).ravel()
+        phash = int((bits << np.arange(64, dtype=np.uint64)).sum())
+        assert np.uint64(r.phash) == np.uint64(phash)
+    resized = {r.id: bytes(r.media)
+               for r in multimodal.resize_media(media, 4, 4).collect()}
+    for i, buf in raw.items():
+        img = _decode_payload(buf)
+        h, w = img.shape
+        ys = np.minimum((np.arange(4) * h) // 4, h - 1)
+        xs = np.minimum((np.arange(4) * w) // 4, w - 1)
+        assert _decode_payload(resized[i]).tolist() == \
+            img[ys][:, xs].tolist()
