@@ -140,6 +140,22 @@ def _ensure_capture_fixtures() -> tuple[str, str]:
     return pcap_path, golden_pcap
 
 
+def _ensure_media_golden() -> str:
+    """Golden (id, width, height, mean, std, phash, resize_md5) parquet from
+    the scalar per-image reference implementation. Fake payloads depend only
+    on (id, seed) — never on the sf — so a 10k-id golden covers every driver
+    scale; the oracle intersects on the actual doc_ids."""
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    os.makedirs(_CAPTURE_DIR, exist_ok=True)
+    path = os.path.join(_CAPTURE_DIR, "golden_media.parquet")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+        tmp = path + ".tmp"
+        pq.write_table(FX.reference_media_features(10000), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -394,17 +410,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_candidates"] = lambda s, d: similarity.lsh_cosine_candidates(
         _read(s, d, "embeddings"), threshold=0.2)
     q["ann_ivf_assign"] = lambda s, d: similarity.ivf_assign(
-        _read(s, d, "embeddings"))                        # rows-only check
+        _read(s, d, "embeddings"))
 
     # ---------------- multimodal plumbing
     q["mm_metadata"] = lambda s, d: _read(s, d, "documents").select(
         "doc_id",
         F.octet_length(F.encode(F.col("text"), "utf-8")).alias("media_bytes"))
+    # both checked against the scalar per-image golden (independent
+    # implementation; see _ensure_media_golden)
     q["mm_media_features"] = lambda s, d: multimodal.media_features(
-        multimodal.fake_media_df(_read(s, d, "documents")))   # rows-only
+        multimodal.fake_media_df(_read(s, d, "documents")))
     q["mm_resize"] = lambda s, d: multimodal.resize_media(
         multimodal.fake_media_df(_read(s, d, "documents"))
-    ).select("id", F.octet_length("media").alias("media_bytes"))  # rows-only
+    ).select("id", F.md5("media").alias("resize_md5"))
 
     # ---------------- binary capture pipeline (O1-O10 on real binary data)
     def _parse_packets(s, d, which="nasdaq"):
@@ -822,6 +840,39 @@ def oracle_sql() -> dict[str, str]:
     sql["mm_metadata"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "
         "AS media_bytes FROM documents")
+
+    # IVF coarse quantizer: integer centroids (seed 43 -> 43*131071 =
+    # 5636053; 16 centroids x 64 dims = 1024), fixed-point vectors, exact
+    # integer max-inner-product with lowest-id tie-break — the assignment
+    # itself is reproduced in SQL
+    sql["ann_ivf_assign"] = (
+        "WITH w0 AS (SELECT i, ((i + 5636053) * 2654435761) % 4294967296 "
+        "AS v FROM range(1024) t(i)), "
+        "w1 AS (SELECT i, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM w0), "
+        "w2 AS (SELECT i, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM w1), "
+        "w AS (SELECT i // 64 AS c, i % 64 AS d, "
+        "xor(v, v >> 16) % 2001 - 1000 AS wt FROM w2), "
+        "q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) "
+        "AS qv FROM embeddings), "
+        "s AS (SELECT q.vec_id, w.c, sum(q.qv * w.wt) AS s "
+        "FROM q JOIN w USING (d) GROUP BY 1, 2), "
+        "r AS (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY s DESC, c ASC) AS rk FROM s) "
+        "SELECT vec_id AS id, CAST(c AS INT) AS centroid FROM r WHERE rk = 1")
+
+    # media kernels vs the scalar per-image golden (independent impl);
+    # payloads depend only on (id, seed) so the golden is sf-agnostic
+    golden_media = _ensure_media_golden()
+    sql["mm_media_features"] = (
+        "SELECT id, width, height, mean, std, phash "
+        f"FROM read_parquet('{golden_media}') "
+        "WHERE id IN (SELECT doc_id FROM documents)")
+    sql["mm_resize"] = (
+        f"SELECT id, resize_md5 FROM read_parquet('{golden_media}') "
+        "WHERE id IN (SELECT doc_id FROM documents)")
 
     sql["streaming_tumbling_counts"] = (
         "SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_us,"

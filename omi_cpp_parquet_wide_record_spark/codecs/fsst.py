@@ -37,25 +37,40 @@ from omi_cpp_parquet_wide_record_spark.codecs.base import (
 ESCAPE = 255
 MAX_CODES = 255           # codes 0..254
 MAX_SYMBOL_LEN = 8        # FSST paper cap
-_KSPACE = 512             # token ids < 512 always (256 literals + <=254 learned)
+_KSPACE = 512             # token ids < 512 (256 literals + <=254 learned + SEP)
+_SEP = 511                # row-boundary sentinel token: never merges, so no
+                          # per-round boundary masking or start-array upkeep
+_NKEYS = _KSPACE * _KSPACE
 
 
-_DEAD = _KSPACE * _KSPACE  # sentinel pair key for row-boundary positions
+def _with_sentinels(corpus: np.ndarray, start_pos: np.ndarray) -> np.ndarray:
+    """int16 token stream with a _SEP token before each row start — paid
+    once per block; every merge round then needs no boundary bookkeeping
+    (a pair containing _SEP is never a merge candidate)."""
+    n = len(corpus)
+    if len(start_pos) == 0:
+        return corpus.astype(np.int16)
+    is_start = np.zeros(n, dtype=bool)
+    is_start[start_pos] = True
+    # dst[i] = i + (# sentinels inserted at positions <= i)
+    dst = np.cumsum(is_start, dtype=np.int32)
+    dst += np.arange(n, dtype=np.int32)
+    t = np.full(n + len(start_pos), _SEP, dtype=np.int16)
+    t[dst] = corpus
+    return t
 
 
-def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
-                        rounds: int, per_round: int, min_count: int):
-    """Merge frequent adjacent pairs into new symbols. Returns (final token
-    stream, (left,right) child pair per learned id 256+, and the per-round
-    merge program [(keys, new_ids), ...] for replay on other blocks). Every
-    pass is whole-array; the stream shrinks as merges land."""
-    t = corpus.astype(np.int16)
-    start = is_start
+def _train_and_tokenize(t: np.ndarray, rounds: int, per_round: int,
+                        min_count: int):
+    """Merge frequent adjacent pairs into new symbols over a sentineled
+    token stream. Returns (final token stream, (left,right) child pair per
+    learned id 256+, and the per-round merge program [(keys, new_ids), ...]
+    for replay on other blocks). Every pass is whole-array; the stream
+    shrinks as merges land."""
     pairs: list[tuple[int, int]] = []      # learned ids 256, 257, ...
     program: list[tuple[np.ndarray, np.ndarray]] = []
     exp_len = np.ones(_KSPACE, dtype=np.int32)
     next_id = 256
-    idx_full = np.arange(len(t), dtype=np.int32)  # reused across rounds
     for _ in range(rounds):
         if next_id - 256 >= MAX_CODES - 1 or len(t) < 2:
             break
@@ -63,9 +78,9 @@ def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
         k = t[:-1].astype(np.int32)
         k <<= 9
         k |= t[1:]
-        k[start[1:]] = _DEAD               # pairs may not span row boundaries
-        counts = np.bincount(k, minlength=_DEAD + 1)
-        counts[_DEAD] = 0
+        counts = np.bincount(k, minlength=_NKEYS)
+        counts[_SEP << 9:(_SEP + 1) << 9] = 0   # pairs with SEP on the left
+        counts[_SEP::_KSPACE] = 0               # ...or on the right
         cand = np.flatnonzero(counts >= min_count)
         if len(cand) == 0:
             break
@@ -77,7 +92,7 @@ def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
         budget = min(per_round, MAX_CODES - 1 - (next_id - 256))
         order = np.argsort(counts[cand])[::-1][:budget]
         cand, left, right = cand[order], left[order], right[order]
-        lut = np.full(_DEAD + 1, -1, dtype=np.int16)
+        lut = np.full(_NKEYS, -1, dtype=np.int16)
         round_ids = np.arange(next_id, next_id + len(cand), dtype=np.int16)
         lut[cand] = round_ids
         program.append((cand.astype(np.int32), round_ids))
@@ -85,36 +100,42 @@ def _train_and_tokenize(corpus: np.ndarray, is_start: np.ndarray,
             pairs.append((l_id, r_id))
             exp_len[next_id] = exp_len[l_id] + exp_len[r_id]
             next_id += 1
-        # positions whose pair is chosen; greedy-left-to-right non-overlap
+        # positions whose pair is chosen; greedy-left-to-right non-overlap.
+        # Run-parity selection happens on the marked SUBSET (runs of marked
+        # positions are consecutive indices), not on full-stream aux arrays.
         new_ids = lut[k]
-        marked = new_ids >= 0
-        if not marked.any():
+        sel = _select_nonoverlap(new_ids)
+        if sel is None:
             break
-        run_start = marked.copy()
-        run_start[1:] &= ~marked[:-1]
-        pos = idx_full[:len(marked)]
-        anchor = np.where(run_start, pos, 0)
-        np.maximum.accumulate(anchor, out=anchor)
-        take = marked
-        take &= ((pos - anchor) & 1) == 0
-        sel = np.flatnonzero(take)
         t[sel] = new_ids[sel]
         keep = np.ones(len(t), dtype=bool)
         keep[sel + 1] = False
         t = t[keep]
-        start = start[keep]
         if len(sel) < len(t) // 100:       # diminishing returns: stop early
             break
     return t, pairs, program
 
 
-def _apply_program(corpus: np.ndarray, is_start: np.ndarray,
-                   program, lut: np.ndarray) -> np.ndarray:
-    """Replay a trained merge program on one (cache-sized) corpus block:
-    per round only lut-gather + parity-select + compaction — no counting."""
-    t = corpus.astype(np.int16)
-    start = is_start
-    idx_full = np.arange(len(t), dtype=np.int32)
+def _select_nonoverlap(new_ids: np.ndarray) -> np.ndarray | None:
+    """Greedy left-to-right non-overlapping positions among marked ones
+    (new_ids >= 0): within each run of consecutive marked positions, take
+    the even offsets. All work after the flatnonzero is on the (usually
+    small) marked subset."""
+    marked_pos = np.flatnonzero(new_ids >= 0)
+    if len(marked_pos) == 0:
+        return None
+    run_start = np.empty(len(marked_pos), dtype=bool)
+    run_start[0] = True
+    np.not_equal(marked_pos[1:], marked_pos[:-1] + 1, out=run_start[1:])
+    anchor = np.where(run_start, marked_pos, 0)
+    np.maximum.accumulate(anchor, out=anchor)
+    return marked_pos[((marked_pos - anchor) & 1) == 0]
+
+
+def _apply_program(t: np.ndarray, program, lut: np.ndarray) -> np.ndarray:
+    """Replay a trained merge program on one (cache-sized) sentineled token
+    block: per round only lut-gather + parity-select + compaction — no
+    counting, no boundary bookkeeping."""
     for keys, ids in program:
         if len(t) < 2:
             break
@@ -122,23 +143,13 @@ def _apply_program(corpus: np.ndarray, is_start: np.ndarray,
         k = t[:-1].astype(np.int32)
         k <<= 9
         k |= t[1:]
-        k[start[1:]] = _DEAD
         new_ids = lut[k]
-        marked = new_ids >= 0
-        if marked.any():
-            run_start = marked.copy()
-            run_start[1:] &= ~marked[:-1]
-            pos = idx_full[:len(marked)]
-            anchor = np.where(run_start, pos, 0)
-            np.maximum.accumulate(anchor, out=anchor)
-            take = marked
-            take &= ((pos - anchor) & 1) == 0
-            sel = np.flatnonzero(take)
+        sel = _select_nonoverlap(new_ids)
+        if sel is not None:
             t[sel] = new_ids[sel]
             keep = np.ones(len(t), dtype=bool)
             keep[sel + 1] = False
             t = t[keep]
-            start = start[keep]
         lut[keys] = -1     # restore shared lut for the next round/block
     return t
 
@@ -154,49 +165,53 @@ def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
     what keeps high-entropy payloads near 1x instead of 2x: frequent raw
     bytes win codes over marginal learned symbols.
 
-    Returns (token stream with demoted ids spliced out, code table as
-    expansion bytes per code, code_of lut over token ids)."""
-    n_ids = 256 + len(pairs)
-    alive = set(range(256, n_ids))  # learned ids still eligible for codes
+    Returns (code table as expansion bytes per code, and per-token-id final
+    output byte encodings as (enc_flat, enc_off, enc_w) arrays over the
+    full _KSPACE id space).
+
+    The demotion fixed point is computed entirely on the (tiny, <=510-entry)
+    id-frequency space: a demoted learned symbol redistributes its count to
+    its two children, which may demote further symbols, until the top-255 is
+    stable. The stream itself is never rewritten — each id (coded, escaped
+    literal, or demoted) maps straight to its final byte sequence, and the
+    sentinel maps to zero bytes, so the caller emits the whole chunk with a
+    single width-gather + repeat + gather chain."""
+    n_ids = 256 + len(pairs)                   # <= 510 (< _SEP)
+    freq = np.bincount(t, minlength=_KSPACE).astype(np.int64)[:n_ids]
+    stream_freq = freq.copy()   # ids actually present in the final stream
+    alive = np.ones(n_ids, dtype=bool)     # literals always alive for escape
     while True:
-        freq = np.bincount(t, minlength=n_ids)
-        order = np.argsort(freq, kind="stable")[::-1]
-        coded = [int(i) for i in order[:MAX_CODES] if freq[i] > 0]
-        coded_set = set(coded)
-        demoted = [i for i in alive if i not in coded_set and freq[i] > 0]
-        if not demoted:
+        cand = np.flatnonzero((freq > 0) & alive)
+        if len(cand) > MAX_CODES:
+            order = cand[np.argsort(freq[cand], kind="stable")[::-1]]
+            coded_ids = order[:MAX_CODES]
+        else:
+            coded_ids = cand
+        keep = np.zeros(n_ids, dtype=bool)
+        keep[coded_ids] = True
+        demoted = np.flatnonzero(alive & (freq > 0) & ~keep
+                                 & (np.arange(n_ids) >= 256))
+        if len(demoted) == 0:
             break
-        alive -= set(demoted)
-        dem_set = set(demoted)
+        # one-level redistribution: children inherit the demoted counts
+        for d in demoted.tolist():
+            l_id, r_id = pairs[d - 256]
+            freq[l_id] += freq[d]
+            freq[r_id] += freq[d]
+            freq[d] = 0
+            alive[d] = False
 
-        def expand(tok: int) -> list[int]:
-            if tok < 256 or tok in alive:
-                return [tok]
-            l_id, r_id = pairs[tok - 256]
-            return expand(l_id) + expand(r_id)
+    # every alive learned id MUST get a code (a learned symbol cannot be
+    # escaped — escapes carry one literal byte); remaining slots go to the
+    # most frequent literals. |alive learned| <= 255 by the fixed point.
+    ids = np.arange(n_ids)
+    learned_alive = np.flatnonzero(alive & (freq > 0) & (ids >= 256))
+    lits = np.flatnonzero((freq > 0) & (ids < 256))
+    lits = lits[np.lexsort((lits, -freq[lits]))]     # freq desc, id asc
+    coded = [int(i) for i in learned_alive] + \
+        [int(i) for i in lits[:MAX_CODES - len(learned_alive)]]
 
-        exp_tokens = {d: expand(d) for d in demoted}
-        # one LUT gather for widths; per-symbol work only on the (small)
-        # demoted-occurrence subset — never per-symbol full-stream masks
-        wlut = np.ones(n_ids, dtype=np.int64)
-        for d, seq in exp_tokens.items():
-            wlut[d] = len(seq)
-        widths = wlut[t]
-        ends = np.cumsum(widths)
-        t2 = np.empty(int(ends[-1]) if len(ends) else 0, dtype=np.int16)
-        pos = ends - widths
-        keep_mask = widths == 1
-        t2[pos[keep_mask]] = t[keep_mask]
-        dp = np.flatnonzero(~keep_mask)
-        dp_tok, dp_pos = t[dp], pos[dp]
-        for d, seq in exp_tokens.items():
-            p = dp_pos[dp_tok == d]
-            if len(p):
-                t2[p[:, None] + np.arange(len(seq))] = np.array(seq, np.int16)
-        t = t2
-        # splice shifts freqs; loop until the top-255 is demotion-free
-
-    # expansion bytes per id (for the table)
+    # expansion bytes per id (for the decode table)
     exp_bytes: dict[int, bytes] = {}
 
     def expansion(tok: int) -> bytes:
@@ -212,7 +227,40 @@ def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
     for tok in coded:
         code_of[tok] = len(table)
         table.append(expansion(tok))
-    return t, table, code_of
+
+    alive_set = set(np.flatnonzero(alive).tolist())
+
+    def expand(tok: int) -> list[int]:
+        if tok < 256 or tok in alive_set:
+            return [tok]
+        l_id, r_id = pairs[tok - 256]
+        return expand(l_id) + expand(r_id)
+
+    # final output byte sequence per token id (code byte, ESCAPE+literal,
+    # or the concatenation for a demoted id); _SEP encodes to zero bytes
+    enc_seqs: list[bytes] = []
+    for tok in range(_KSPACE):
+        # ids absent from the final stream need no encoding — and may not
+        # even have one (their descendants can be uncoded); demoted ids ARE
+        # in the stream (freq was only redistributed on the id space), so
+        # the guard uses the original stream counts
+        if tok >= n_ids or tok == _SEP or stream_freq[tok] == 0:
+            enc_seqs.append(b"")
+            continue
+        out = bytearray()
+        for s in expand(tok):
+            c = int(code_of[s])
+            if c >= 0:
+                out.append(c)
+            else:                      # uncoded ids are literals (< 256)
+                out.append(ESCAPE)
+                out.append(s)
+        enc_seqs.append(bytes(out))
+    enc_w = np.array([len(s) for s in enc_seqs], dtype=np.int32)
+    enc_off = np.zeros(_KSPACE, dtype=np.int64)
+    np.cumsum(enc_w[:-1], out=enc_off[1:])
+    enc_flat = np.frombuffer(b"".join(enc_seqs), dtype=np.uint8)
+    return table, enc_flat, enc_off, enc_w
 
 
 class FsstCodec(Codec):
@@ -231,69 +279,70 @@ class FsstCodec(Codec):
         if len(corpus) == 0:
             return [b"", b"", lens_payload, b""], {
                 "n": n_rows, "ncodes": 0, "lens": lens_params}
-        is_start = np.zeros(len(corpus), dtype=bool)
         starts = np.zeros(n_rows + 1, dtype=np.int64)
         np.cumsum(lengths, out=starts[1:])
-        is_start[starts[:-1][lengths > 0]] = True
+        start_pos = starts[:-1][lengths > 0]
 
         TRAIN_BYTES = 2 << 20
-        BLOCK_BYTES = 4 << 20
+        BLOCK_BYTES = 1 << 20
         if len(corpus) <= BLOCK_BYTES:
             min_count = max(self.min_count, len(corpus) >> 15)
             t, pairs, _prog = _train_and_tokenize(
-                corpus, is_start, self.rounds, self.per_round, min_count)
+                _with_sentinels(corpus, start_pos), self.rounds,
+                self.per_round, min_count)
         else:
             # train on a strided row sample (2 MB), replay the merge program
-            # on ~4 MB blocks — cache-resident passes, counting only once
+            # on ~1 MB blocks — the per-round passes then run over
+            # cache-resident token arrays instead of DRAM-sized ones
             row_off = starts[:-1]
             nz = np.flatnonzero(lengths > 0)
             stride = max(1, int(np.ceil(
                 float(lengths[nz].sum()) / TRAIN_BYTES)))
             pick = nz[::stride]
             plens = lengths[pick]
-            psrc = np.repeat(row_off[pick], plens) + (
-                np.arange(int(plens.sum())) -
-                np.repeat(np.concatenate(([0], np.cumsum(plens)[:-1])), plens))
-            sample = corpus[psrc]
-            s_start = np.zeros(len(sample), dtype=bool)
             s_off = np.concatenate(([0], np.cumsum(plens)[:-1]))
-            s_start[s_off] = True
+            psrc = np.repeat(row_off[pick], plens) + (
+                np.arange(int(plens.sum())) - np.repeat(s_off, plens))
+            sample = corpus[psrc]
             min_count = max(self.min_count, len(sample) >> 15)
             _st, pairs, prog = _train_and_tokenize(
-                sample, s_start, self.rounds, self.per_round, min_count)
-            # block boundaries at row starts near multiples of BLOCK_BYTES
-            row_ends = np.cumsum(lengths)
-            cuts = [0]
-            target = BLOCK_BYTES
-            for i, e in enumerate(row_ends.tolist()):
-                if e >= target:
-                    cuts.append(i + 1)
-                    target = e + BLOCK_BYTES
-            if cuts[-1] != n_rows:
-                cuts.append(n_rows)
-            lut = np.full(_DEAD + 1, -1, dtype=np.int16)
+                _with_sentinels(sample, s_off), self.rounds,
+                self.per_round, min_count)
+            # block boundaries: the first row start at/after each multiple
+            # of BLOCK_BYTES (vectorized searchsorted, no per-row loop)
+            row_ends = starts[1:]
+            marks = np.arange(BLOCK_BYTES, int(row_ends[-1]),
+                              BLOCK_BYTES, dtype=np.int64)
+            cuts = np.unique(np.concatenate(
+                ([0], np.searchsorted(row_ends, marks, side="left") + 1,
+                 [n_rows])))
+            cuts = cuts[cuts <= n_rows]
+            lut = np.full(_NKEYS, -1, dtype=np.int16)
             parts = []
-            for a, b in zip(cuts[:-1], cuts[1:]):
-                lo = int(row_off[a])
-                hi = int(row_ends[b - 1]) if b > a else lo
+            for a, b in zip(cuts[:-1].tolist(), cuts[1:].tolist()):
+                lo, hi = int(starts[a]), int(starts[b])
                 if hi <= lo:
                     continue
-                blk = corpus[lo:hi]
-                bs = is_start[lo:hi]
-                parts.append(_apply_program(blk, bs, prog, lut))
-            t = np.concatenate(parts) if parts else corpus.astype(np.int16)
-        t, table, code_of = _assign_codes(t, pairs)
+                bpos = start_pos[np.searchsorted(start_pos, lo):
+                                 np.searchsorted(start_pos, hi)] - lo
+                parts.append(_apply_program(
+                    _with_sentinels(corpus[lo:hi], bpos), prog, lut))
+            t = np.concatenate(parts) if parts \
+                else _with_sentinels(corpus, start_pos)
+        table, enc_flat, enc_off, enc_w = _assign_codes(t, pairs)
 
-        codes = code_of[t]
-        w = np.where(codes >= 0, 1, 2).astype(np.int64)
-        ends = np.cumsum(w)
-        out = np.empty(int(ends[-1]), dtype=np.uint8)
-        pos = ends - w
-        m1 = codes >= 0
-        out[pos[m1]] = codes[m1].astype(np.uint8)
-        m2 = ~m1
-        out[pos[m2]] = ESCAPE
-        out[pos[m2] + 1] = t[m2].astype(np.uint8)  # escaped ids are literals <256
+        # single-gather output assembly: token id -> final byte sequence
+        # (code, ESCAPE+literal, or demoted expansion; sentinels emit zero
+        # bytes, so no strip pass). Writes are purely sequential; index math
+        # stays int32 while the chunk fits (it always does at the 64 MB
+        # chunk budget), halving the dominant memory traffic.
+        w = enc_w[t]
+        ends = np.cumsum(w, dtype=np.int64)
+        total = int(ends[-1]) if len(ends) else 0
+        it = np.int32 if total < 2**31 - 8 else np.int64
+        src = np.repeat((enc_off[t] - (ends - w)).astype(it), w)
+        src += np.arange(total, dtype=it)
+        out = enc_flat[src]
 
         tab_lens = np.array([len(s) for s in table], dtype=np.uint8)
         return [tab_lens.tobytes(), b"".join(table), lens_payload,
@@ -308,62 +357,48 @@ class FsstCodec(Codec):
             return block_to_array(lengths, b"", target)
         ncodes = params["ncodes"]
         tab_lens = np.frombuffer(sections[0], dtype=np.uint8, count=ncodes)
-        tab_data = bytes(sections[1])
-        offs = np.zeros(ncodes + 1, dtype=np.int64)
-        np.cumsum(tab_lens, out=offs[1:])
-        exps = [tab_data[offs[i]:offs[i + 1]] for i in range(ncodes)]
-        exp_arrs = [np.frombuffer(e, dtype=np.uint8) for e in exps]
+        tab_flat = np.frombuffer(sections[1], dtype=np.uint8)
+        tab_off = np.zeros(256, dtype=np.int64)
+        np.cumsum(tab_lens[:-1] if ncodes else tab_lens,
+                  out=tab_off[1:ncodes])
         code_len = np.ones(256, dtype=np.int64)
         code_len[:ncodes] = tab_lens
 
-        # escape parsing: inside each run of consecutive 0xFF bytes, the
-        # even-offset ones are escape markers, odd-offset ones are literals
-        is_ff = enc == ESCAPE
-        run_start = is_ff & ~np.concatenate(([False], is_ff[:-1]))
-        anchor = np.where(run_start, np.arange(len(enc)), 0)
-        np.maximum.accumulate(anchor, out=anchor)
-        marker = is_ff & (((np.arange(len(enc)) - anchor) & 1) == 0)
-        literal_slot = np.zeros(len(enc) + 1, dtype=bool)
-        literal_slot[np.flatnonzero(marker) + 1] = True
-        literal_slot = literal_slot[:-1]
-        is_code = ~is_ff & ~literal_slot
+        # escape parsing on the 0xFF-position SUBSET: inside each run of
+        # consecutive 0xFF bytes the even-offset ones are escape markers,
+        # odd-offset ones are escaped literals — runs of 0xFF positions are
+        # consecutive indices, so run-parity needs only the subset
+        ff_pos = np.flatnonzero(enc == ESCAPE)
+        if len(ff_pos):
+            rs = np.empty(len(ff_pos), dtype=bool)
+            rs[0] = True
+            np.not_equal(ff_pos[1:], ff_pos[:-1] + 1, out=rs[1:])
+            anchor = np.where(rs, ff_pos, 0)
+            np.maximum.accumulate(anchor, out=anchor)
+            marker_pos = ff_pos[((ff_pos - anchor) & 1) == 0]
+        else:
+            marker_pos = ff_pos
+        tok = enc != ESCAPE
+        tok[marker_pos + 1] = False          # the literal slot after a marker
+        tok[marker_pos] = True               # the marker is the token
+        tok_pos = np.flatnonzero(tok)
+        codes = enc[tok_pos]
+        tok_esc = codes == ESCAPE            # markers are the only ESCAPEs
+        widths = np.where(tok_esc, 1, code_len[codes])
+        ends = np.cumsum(widths, dtype=np.int64)
+        total = int(ends[-1]) if len(ends) else 0
 
-        tok_pos = np.flatnonzero(marker | is_code)
-        tok_esc = marker[tok_pos]
-        widths = np.where(tok_esc, 1, code_len[enc[tok_pos]])
-        ends = np.cumsum(widths)
-        out = np.empty(int(ends[-1]) if len(ends) else 0, dtype=np.uint8)
-        pos = ends - widths
-        # escaped literals: single-byte copy
-        ep = tok_pos[tok_esc]
-        out[pos[tok_esc]] = enc[ep + 1]
-        # code tokens: single-byte expansions (the common case on
-        # escape-heavy data) decode with one LUT gather; multi-byte codes
-        # are grouped by one sort and written per group
-        cp_mask = ~tok_esc
-        cp_codes = enc[tok_pos[cp_mask]]
-        cp_pos = pos[cp_mask]
-        lens_of = code_len[cp_codes]
-        one = lens_of == 1
-        if one.any():
-            lut1 = np.zeros(256, dtype=np.uint8)
-            for c in range(ncodes):
-                if tab_lens[c] == 1:
-                    lut1[c] = exp_arrs[c][0]
-            out[cp_pos[one]] = lut1[cp_codes[one]]
-        multi = ~one
-        if multi.any():
-            mc, mp_ = cp_codes[multi], cp_pos[multi]
-            order = np.argsort(mc, kind="stable")
-            sc, sp = mc[order], mp_[order]
-            bounds = np.concatenate(
-                ([0], np.flatnonzero(sc[1:] != sc[:-1]) + 1, [len(sc)]))
-            for gi in range(len(bounds) - 1):
-                lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-                if lo == hi:
-                    continue
-                e = exp_arrs[int(sc[lo])]
-                out[sp[lo:hi, None] + np.arange(len(e))] = e
+        # single-gather expansion: every output byte reads from an extended
+        # source [symbol table | encoded stream] — table reads stay
+        # cache-resident, the output writes are purely sequential (the old
+        # per-code scatter loop wrote to random positions, DRAM-hostile);
+        # int32 index math while the chunk fits
+        big = np.concatenate([tab_flat, enc])
+        it = np.int32 if max(total, len(big)) < 2**31 - 8 else np.int64
+        src0 = np.where(tok_esc, len(tab_flat) + tok_pos + 1, tab_off[codes])
+        src = np.repeat((src0 - (ends - widths)).astype(it), widths)
+        src += np.arange(total, dtype=it)
+        out = big[src]
         assert int(lengths.sum()) == len(out), "fsst decode length mismatch"
         return block_to_array(lengths, out.tobytes(), target)
 

@@ -580,3 +580,60 @@ def reference_parse_pcap(data: bytes, which: str = "nasdaq") -> pa.Table:
         else:
             arrays.append(pa.array(vals, type=field.type))
     return pa.Table.from_arrays(arrays, schema=sch)
+
+
+# ----------------------------------------------- F6 media feature golden
+
+def reference_media_features(n: int, seed: int = 42,
+                             resize_to: tuple[int, int] = (8, 8)) -> pa.Table:
+    """Scalar per-image golden for the multimodal kernels: generates each
+    fake payload and computes (width, height, mean, std, phash) plus the
+    md5 of the resized payload one image at a time — the independent
+    implementation the whole-batch kernels must agree with, same pattern as
+    reference_parse_pcap. Payloads depend only on (id, seed), never on the
+    table sf, so a golden for ids 0..n-1 covers any driver scale factor."""
+    import hashlib
+    from omi_cpp_parquet_wide_record_spark.operators.multimodal import (
+        FAKE_MAGIC,
+    )
+    out_w, out_h = resize_to
+    rows = {"id": [], "width": [], "height": [], "mean": [], "std": [],
+            "phash": [], "resize_md5": []}
+    for i in range(n):
+        ii = np.array([i], dtype=np.uint64)
+        w = int(8 + splitmix64(ii + np.uint64(seed))[0] % np.uint64(24))
+        h = int(8 + splitmix64(ii * np.uint64(3) + np.uint64(seed))[0]
+                % np.uint64(24))
+        body = (splitmix64(np.arange(w * h // 8 + 1, dtype=np.uint64)
+                           + np.uint64(i)).view(np.uint8)[: w * h])
+        img = body.reshape(h, w)
+        pix = img.astype(np.float64)
+        npix = w * h
+        mean = float(pix.sum() / npix)
+        std = float(np.sqrt(max((pix * pix).sum() / npix - mean * mean, 0.0)))
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        small = img[ys][:, xs].astype(np.float64)
+        bits = (small > small.mean()).astype(np.uint64).ravel()
+        phash = (bits << np.arange(64, dtype=np.uint64)).sum()
+        rys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+        rxs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+        resized = (FAKE_MAGIC + out_w.to_bytes(2, "little")
+                   + out_h.to_bytes(2, "little")
+                   + img[rys][:, rxs].tobytes())
+        rows["id"].append(i)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["mean"].append(float(np.round(mean, 4)))
+        rows["std"].append(float(np.round(std, 4)))
+        rows["phash"].append(int(np.uint64(phash).view(np.int64)))
+        rows["resize_md5"].append(hashlib.md5(resized).hexdigest())
+    return pa.table({
+        "id": pa.array(rows["id"], type=pa.int64()),
+        "width": pa.array(rows["width"], type=pa.int32()),
+        "height": pa.array(rows["height"], type=pa.int32()),
+        "mean": pa.array(rows["mean"], type=pa.float64()),
+        "std": pa.array(rows["std"], type=pa.float64()),
+        "phash": pa.array(rows["phash"], type=pa.int64()),
+        "resize_md5": pa.array(rows["resize_md5"], type=pa.string()),
+    })

@@ -176,13 +176,18 @@ def lsh_cosine_candidates(df: DataFrame, n_planes: int = 12, bands: int = 3,
 def ivf_assign(df: DataFrame, n_centroids: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 42) -> DataFrame:
-    """(id, centroid) — nearest of n deterministic sample centroids.
-    The coarse-quantizer half of an IVF index: at scale, vectors are
-    repartitioned by centroid so a query probes only nprobe partitions."""
+    """(id, centroid) — max-inner-product assignment to n deterministic
+    centroids. The coarse-quantizer half of an IVF index: at scale, vectors
+    are repartitioned by centroid so a query probes only nprobe partitions.
+
+    Exact integer arithmetic end to end (fixed-point quantized vectors x
+    lowbias32 integer centroids, ties broken by lower centroid id), so the
+    assignment is bit-deterministic and reproducible in plain SQL — the
+    driver oracle checks the quantizer itself."""
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    state = {"cents": None}
 
     def task(batches):
-        cents = None
         for b in batches:
             ids = b.column("id").to_numpy()
             lst = b.column("v")
@@ -191,12 +196,11 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
             if n == 0:
                 continue
             dim = len(flat) // n
-            if cents is None:
-                cents = _hyperplanes(dim, n_centroids, seed + 1)
-                cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-            x = flat.reshape(n, dim)
-            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-            assign = (xn @ cents.T).argmax(axis=1).astype(np.int32)
+            if state["cents"] is None or state["cents"].shape[1] != dim:
+                state["cents"] = int_hyperplanes(dim, n_centroids, seed + 1)
+            q = np.floor(flat * LSH_SCALE).astype(np.int64).reshape(n, dim)
+            scores = q @ state["cents"].T           # exact int64
+            assign = scores.argmax(axis=1).astype(np.int32)  # first max wins
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()),
                  pa.array(assign, type=pa.int32())],
