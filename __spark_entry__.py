@@ -105,7 +105,7 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
 
 
-_CAPTURE_DIR = "/tmp/owr_capture_v1"
+_CAPTURE_DIR = "/tmp/owr_capture_v2"   # v2: u32 columns carried as int64
 
 
 def _ensure_capture_fixtures() -> tuple[str, str]:

@@ -64,11 +64,13 @@ def main() -> int:
     shutil.rmtree(store_dir, ignore_errors=True)
 
     t0 = time.time()
-    # work units sized for ~4 MB of input each (enough rows per chunk for
-    # the FSST symbol table to train well), floored at one per core
-    num_pids = max(cpus, min(cpus * 8, rows * 5200 // (4 << 20)))
+    # work units sized for ~2 MB of input each; the salt must be fine
+    # enough that a Zipf-hot language splits into units of that size too —
+    # coarse salting (r1 used salt=8) left 30+ MB straggler pids that
+    # serialized the tail of the job
+    num_pids = max(cpus, min(cpus * 8, rows * 5200 // (2 << 20)))
     res = encode_dataframe(corpus, store_dir, partition_by=["lang"],
-                           salt_key="url", num_pids=num_pids, salt=8)
+                           salt_key="url", num_pids=num_pids, salt=128)
     timings["encode_web"] = round(time.time() - t0, 3)
 
     t0 = time.time()

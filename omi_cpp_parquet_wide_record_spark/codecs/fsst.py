@@ -11,17 +11,30 @@ on web text (`url`, `text`).
 Departure from the paper, for the zero-per-row-Python rule: the symbol table
 is trained by iterative *vectorized pair merging* over the whole chunk corpus
 (BPE-style) instead of the paper's sequential greedy bottom-up pass. Every
-training round, encode pass, and the decode are whole-array numpy ops:
+training round, encode pass, and the decode are whole-array numpy ops, shaped
+for cache residency under full-core concurrency (the kernels are memory-bound;
+every avoided full-stream pass shows up directly in aggregate throughput):
 
-- pair counting        -> ``np.bincount`` over a dense (V x V) key space
-- non-overlap greedy   -> run-parity selection (take alternate marks per run)
-- merge apply          -> masked scatter + boolean compaction
-- escape parsing       -> run-parity over 0xFF runs
-- output assembly      -> cumsum offsets + per-code broadcast writes
+- row boundaries       -> sentinel tokens inserted once per block (a pair
+                          containing the sentinel never merges), so merge
+                          rounds carry no boundary bookkeeping at all
+- pair counting        -> ``np.bincount`` over a dense (V x V) key space,
+                          on a ~2 MB training sample only
+- non-overlap greedy   -> run-parity selection on the marked-position SUBSET
+- merge replay         -> trained program re-applied to ~1 MB cache-resident
+                          blocks: lut gather + subset select + compaction
+- code assignment      -> demotion fixed point on the <=510-entry
+                          id-frequency space (children inherit demoted
+                          counts); the stream itself is never rewritten
+- output assembly      -> one width-gather + repeat + gather chain from a
+                          per-id final-byte-sequence table (sentinels emit
+                          zero bytes); int32 index math while a chunk fits
+- escape parsing       -> run-parity over the 0xFF-position subset
+- decode expansion     -> one sequential-write gather from an extended
+                          [symbol table | encoded stream] source
 
-Symbols never span row boundaries (pair validity is masked on row starts), so
-decoding the concatenated corpus and re-slicing at the stored original
-lengths is exact.
+Symbols never span row boundaries, so decoding the concatenated corpus and
+re-slicing at the stored original lengths is exact.
 """
 
 from __future__ import annotations
@@ -41,6 +54,12 @@ _KSPACE = 512             # token ids < 512 (256 literals + <=254 learned + SEP)
 _SEP = 511                # row-boundary sentinel token: never merges, so no
                           # per-round boundary masking or start-array upkeep
 _NKEYS = _KSPACE * _KSPACE
+
+# replay-block / training-sample byte budgets: blocks must stay L2-resident
+# under full-core concurrency (token stream int16 + pair-key int32 + temps
+# ~= 7x the block bytes)
+TRAIN_BYTES_DEFAULT = 2 << 20
+BLOCK_BYTES_DEFAULT = 1 << 20
 
 
 def _with_sentinels(corpus: np.ndarray, start_pos: np.ndarray) -> np.ndarray:
@@ -283,8 +302,8 @@ class FsstCodec(Codec):
         np.cumsum(lengths, out=starts[1:])
         start_pos = starts[:-1][lengths > 0]
 
-        TRAIN_BYTES = 2 << 20
-        BLOCK_BYTES = 1 << 20
+        TRAIN_BYTES = TRAIN_BYTES_DEFAULT
+        BLOCK_BYTES = BLOCK_BYTES_DEFAULT
         if len(corpus) <= BLOCK_BYTES:
             min_count = max(self.min_count, len(corpus) >> 15)
             t, pairs, _prog = _train_and_tokenize(

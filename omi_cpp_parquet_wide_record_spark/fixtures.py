@@ -350,7 +350,8 @@ def wide_itch_batch(start: int, end: int, which: str = "nasdaq",
                 v = (h % np.uint64(5)).astype(np.int64) + 65
             else:
                 v = (h % np.uint64(bound)).astype(np.int64)
-            target = pa.int64() if kind in ("u48", "u64") else pa.int32()
+            target = pa.int64() if kind in ("u32", "u48", "u64") \
+                else pa.int32()
             np_vals = v if target == pa.int64() else v.astype(np.int32)
             cols.append(pa.array(np_vals, type=target,
                                  mask=~valid))

@@ -211,7 +211,7 @@ def encode_dataframe(
     partition_by: list[str] | None = None,
     salt_key: str | None = None,
     num_pids: int | None = None,
-    salt: int = 16,
+    salt: int = 64,
     chunk_rows: int = 65536,
     chunk_bytes: int = 64 << 20,
     resume: bool = True,

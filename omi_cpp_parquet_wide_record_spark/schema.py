@@ -184,8 +184,12 @@ JNX_TYPE_FIELDS: dict[str, list[str]] = {
 
 
 def _kind_to_arrow(kind: str) -> pa.DataType:
+    # u32 rides in int64: the reference stores full-range UINT_32 in the
+    # INT32 physical lane (converted type), and Spark itself surfaces
+    # parquet UINT_32 as LongType — int64 keeps values >= 2^31 (e.g. large
+    # share counts) unwrapped (ADVICE r1 #5)
     return {
-        "u8": pa.int32(), "u16": pa.int32(), "u32": pa.int32(),
+        "u8": pa.int32(), "u16": pa.int32(), "u32": pa.int64(),
         "u48": pa.int64(), "u64": pa.int64(),
         "i32": pa.int32(), "i64": pa.int64(),
         "ts": pa.timestamp("us"), "str": pa.string(), "s10": pa.string(),
@@ -210,6 +214,6 @@ JNX_PAYLOAD_KINDS = _JNX_PAYLOAD
 
 # unsigned value bound per kind (exclusive), for fixture generation
 KIND_BOUND = {
-    "u8": 1 << 7, "u16": 1 << 16, "u32": 1 << 31,  # widened into signed int32
+    "u8": 1 << 7, "u16": 1 << 16, "u32": 1 << 32,  # full unsigned range
     "u48": 1 << 48, "u64": 1 << 62,
 }

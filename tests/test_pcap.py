@@ -98,3 +98,20 @@ def test_read_pcap_many_files(spark, tmp_path):
     assert df.count() == 800
     # each file restarts its packet counter at 1
     assert df.filter("pcap_index = 1").count() >= 1
+
+
+def test_u32_full_range_survives_unwrapped():
+    """u32 fields (e.g. shares) ride in int64: values >= 2^31 must come
+    through the whole capture pipeline unwrapped (ADVICE r1 #5 — they used
+    to wrap negative in the signed-int32 lane)."""
+    import pyarrow.compute as pc
+    data = FX.pcap_capture(300, "nasdaq")
+    golden = FX.reference_parse_pcap(data, "nasdaq")
+    wide = pa.Table.from_batches(
+        [parse_packets_batch(packets_from_capture(data), "nasdaq")])
+    mx = pc.max(golden.column("shares")).as_py()
+    assert mx >= 2**31          # the fixture exercises the full u32 range
+    assert golden.schema.field("shares").type == pa.int64()
+    assert pc.min(wide.column("shares")).as_py() >= 0
+    assert wide.column("shares").combine_chunks().equals(
+        golden.column("shares").combine_chunks())
