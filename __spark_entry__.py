@@ -126,15 +126,18 @@ def _ensure_capture_fixtures() -> tuple[str, str]:
     pcap_path = os.path.join(_CAPTURE_DIR, "capture_nasdaq.pcap")
     golden_pcap = os.path.join(_CAPTURE_DIR, "golden_pcap_nasdaq.parquet")
     golden_wide = os.path.join(_CAPTURE_DIR, "golden_wide_nasdaq.parquet")
-    if not (os.path.exists(pcap_path) and os.path.exists(golden_pcap)
-            and os.path.exists(golden_wide)):
-        data = FX.pcap_capture(4000, "nasdaq")
-        tmp = pcap_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(data)
-        os.replace(tmp, pcap_path)
-        FX.write_golden_parquet(FX.reference_parse_pcap(data, "nasdaq"),
-                                golden_pcap)
+    pcap_jnx = os.path.join(_CAPTURE_DIR, "capture_jnx.pcap")
+    golden_jnx = os.path.join(_CAPTURE_DIR, "golden_pcap_jnx.parquet")
+    if not all(os.path.exists(p) for p in
+               (pcap_path, golden_pcap, golden_wide, pcap_jnx, golden_jnx)):
+        for which, cap, gp in (("nasdaq", pcap_path, golden_pcap),
+                               ("jnx", pcap_jnx, golden_jnx)):
+            data = FX.pcap_capture(4000, which)
+            tmp = cap + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, cap)
+            FX.write_golden_parquet(FX.reference_parse_pcap(data, which), gp)
         FX.write_golden_parquet(FX.wide_itch_table(4000, "nasdaq"),
                                 golden_wide)
     return pcap_path, golden_pcap
@@ -455,6 +458,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (out.withColumn("pcap_ts_us", F.unix_micros("pcap_timestamp"))
                 .drop("pcap_timestamp"))
     q["pcap_parse"] = _pcap_parse
+
+    def _pcap_parse_jnx(s, d):
+        """The JNX twin (31-col wide record, split timestamps kept raw,
+        11-way dispatch) decoded from real capture bytes."""
+        from omi_cpp_parquet_wide_record_spark.operators.wide_record import (
+            parse_packets,
+        )
+        from omi_cpp_parquet_wide_record_spark.sources.pcap import read_pcap
+        _ensure_capture_fixtures()
+        _tune(s)
+        out = parse_packets(
+            read_pcap(s, os.path.join(_CAPTURE_DIR, "capture_jnx.pcap")),
+            "jnx")
+        return (out.withColumn("pcap_ts_us", F.unix_micros("pcap_timestamp"))
+                .drop("pcap_timestamp"))
+    q["pcap_parse_jnx"] = _pcap_parse_jnx
 
     def _metrics(s, d):
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
@@ -836,6 +855,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * EXCLUDE (pcap_timestamp), "
         "epoch_us(pcap_timestamp) AS pcap_ts_us "
         f"FROM read_parquet('{golden_pcap}')")
+    golden_jnx = os.path.join(_CAPTURE_DIR, "golden_pcap_jnx.parquet")
+    sql["pcap_parse_jnx"] = (
+        "SELECT * EXCLUDE (pcap_timestamp), "
+        "epoch_us(pcap_timestamp) AS pcap_ts_us "
+        f"FROM read_parquet('{golden_jnx}')")
 
     sql["mm_metadata"] = (
         "SELECT doc_id, CAST(octet_length(encode(text)) AS INT) "

@@ -5,7 +5,9 @@ ref NQ:3826-3849): binary capture in, wide-record chunk store out, read-back
 verification, optional CSV sample (the reference's O14 dump).
 
     spark-submit --py-files dist/owr_spark.zip jobs/convert.py \
-        --packets capture.parquet --which nasdaq --output /data/store
+        --pcap /data/captures/ --which nasdaq --output /data/store
+    # pre-framed packets parquet also accepted:
+    python jobs/convert.py --packets capture.parquet --output /tmp/s
     # or fully self-contained on the synthetic capture:
     python jobs/convert.py --synthetic-rows 20000 --which jnx --output /tmp/s
 """
@@ -22,6 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--pcap", help="pcap file or directory of capture files "
+                                   "(the reference's own input format)")
     ap.add_argument("--packets", help="parquet of (pcap_sec, pcap_usec, payload)")
     ap.add_argument("--synthetic-rows", type=int,
                     help="use the deterministic capture fixture instead")
@@ -48,14 +52,17 @@ def main() -> int:
     from omi_cpp_parquet_wide_record_spark.session import get_spark
 
     spark = get_spark("owr-convert", cores=args.cores)
-    if args.synthetic_rows:
+    if args.pcap:
+        from omi_cpp_parquet_wide_record_spark.sources.pcap import read_pcap
+        pkts = read_pcap(spark, args.pcap)
+    elif args.synthetic_rows:
         from omi_cpp_parquet_wide_record_spark import fixtures as FX
         pkts = spark.createDataFrame(
             FX.packets_table(args.synthetic_rows, args.which).to_pandas())
     elif args.packets:
         pkts = spark.read.parquet(args.packets)
     else:
-        ap.error("need --packets or --synthetic-rows")
+        ap.error("need --pcap, --packets, or --synthetic-rows")
 
     wide = parse_packets(pkts, args.which).withColumn(
         "row_key", F.col("pcap_index") * 1_000_000 + F.col("message_index"))
