@@ -356,6 +356,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
               .cast("double").alias("total")))
 
+    def _windows(s, d):
+        from pyspark.sql import Window
+        wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        running = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return (_read(s, d, "events").select(
+            "event_id", "user_id",
+            F.row_number().over(wo).alias("rn"),
+            F.lag("event_type").over(wo).alias("prev_type"),
+            F.lead("event_type").over(wo).alias("next_type"),
+            F.ntile(4).over(wo).alias("quartile"),
+            F.sum(F.col("value").cast("decimal(18,2)")).over(running)
+             .cast("double").alias("running_value"),
+            F.count(F.lit(1)).over(running).alias("running_n")))
+    q["window_functions_showcase"] = _windows
+
+    q["date_functions_showcase"] = lambda s, d: (
+        _read(s, d, "orders").select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("dom"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),   # 0 = Sunday
+            F.quarter("o_orderdate").alias("q"),
+            F.unix_micros(F.date_trunc("month", "o_orderdate"))
+             .alias("month_start_us"),
+            F.datediff(F.lit("1998-01-01").cast("date"),
+                       F.col("o_orderdate").cast("date")).alias("days_to_98"),
+            F.unix_micros(F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"))
+             .alias("plus_week_us")))
+
+    q["array_functions_showcase"] = lambda s, d: (
+        _read(s, d, "documents").select(
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.array_join(F.sort_array(F.slice(F.split("text", " "), 1, 4)),
+                         "|").alias("first4_sorted"),
+            F.array_contains(F.split("text", " "), "the").alias("has_the"),
+            F.size(F.array_distinct(F.split("text", " ")))
+             .alias("n_distinct_words"),
+            F.element_at(F.split("text", " "), -1).alias("last_word"),
+            F.aggregate(F.transform(F.split("text", " "),
+                                    lambda w: F.length(w)),
+                        F.lit(0), lambda a, b: a + b).alias("sum_word_len")))
+
+    q["semi_anti_joins"] = lambda s, d: (
+        _read(s, d, "orders")
+        .join(_read(s, d, "customer").filter(F.col("c_acctbal") > 5000),
+              F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+        .unionAll(
+            _read(s, d, "orders")
+            .join(_read(s, d, "customer"),
+                  F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+            .select("o_orderkey", (-F.col("o_custkey")).alias("o_custkey"))))
+
+    def _range_join(s, d):
+        """Interval join, scale-shaped: clicks within 24 hours after a
+        signup by the same user. The equi-join key is a time BUCKET (pairs
+        can only match inside the same or adjacent bucket), which keeps the
+        join sub-quadratic; the exact range predicate filters after."""
+        ev = _read(s, d, "events")
+        bucket_us = 86400 * 1_000_000
+        sig = (ev.filter(F.col("event_type") == "signup")
+               .select(F.col("user_id").alias("s_user"),
+                       F.unix_micros("ts").alias("s_us")))
+        clk = (ev.filter(F.col("event_type") == "click")
+               .select(F.col("event_id").alias("click_id"),
+                       F.col("user_id").alias("c_user"),
+                       F.unix_micros("ts").alias("c_us")))
+        sig = sig.withColumn("bk", F.explode(F.array(
+            (F.col("s_us") / bucket_us).cast("long"),
+            (F.col("s_us") / bucket_us).cast("long") + 1)))
+        clk = clk.withColumn("bk", (F.col("c_us") / bucket_us).cast("long"))
+        return (clk.join(sig, (clk.c_user == sig.s_user)
+                         & (clk.bk == sig.bk))
+                .filter((F.col("c_us") > F.col("s_us"))
+                        & (F.col("c_us") <= F.col("s_us") + bucket_us))
+                .groupBy("click_id")
+                .agg(F.count(F.lit(1)).alias("n_signups"),
+                     F.min("s_us").alias("first_signup_us")))
+    q["range_interval_join"] = _range_join
+
     def _sessionize(s, d):
         from pyspark.sql import Window
         # event_id secondary sort: (user_id, ts) has no ties in the driver
@@ -647,6 +730,59 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(o_totalprice::DECIMAL(18,2)) AS DOUBLE) AS total "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_nationkey")
+    sql["window_functions_showcase"] = (
+        "SELECT event_id, user_id, ROW_NUMBER() OVER w AS rn, "
+        "lag(event_type) OVER w AS prev_type, "
+        "lead(event_type) OVER w AS next_type, "
+        "ntile(4) OVER w AS quartile, "
+        "CAST(sum(value::DECIMAL(18,2)) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) "
+        "AS running_value, "
+        "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS running_n "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)")
+
+    sql["date_functions_showcase"] = (
+        "SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,"
+        " day(o_orderdate) AS dom, dayofweek(o_orderdate) AS dow, "
+        "quarter(o_orderdate) AS q, "
+        "epoch_us(date_trunc('month', o_orderdate)) AS month_start_us, "
+        "date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') "
+        "AS days_to_98, "
+        "epoch_us(o_orderdate + INTERVAL 7 DAY) AS plus_week_us "
+        "FROM orders")
+
+    sql["array_functions_showcase"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS a "
+        "FROM documents) "
+        "SELECT doc_id, len(a) AS n_words, "
+        "array_to_string(list_sort(a[1:4]), '|') AS first4_sorted, "
+        "list_contains(a, 'the') AS has_the, "
+        "len(list_distinct(a)) AS n_distinct_words, "
+        "a[-1] AS last_word, "
+        "CAST(list_sum(list_transform(a, x -> length(x))) AS INT) "
+        "AS sum_word_len FROM w")
+
+    sql["semi_anti_joins"] = (
+        "SELECT o_orderkey, o_custkey FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = "
+        "o.o_custkey AND c.c_acctbal > 5000) "
+        "UNION ALL "
+        "SELECT o_orderkey, -o_custkey AS o_custkey FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM customer c "
+        "WHERE c.c_custkey = o.o_custkey)")
+
+    sql["range_interval_join"] = (
+        "WITH sig AS (SELECT user_id, epoch_us(ts) AS s_us FROM events "
+        "WHERE event_type = 'signup'), "
+        "clk AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us "
+        "FROM events WHERE event_type = 'click') "
+        "SELECT click_id, count(*) AS n_signups, min(s_us) "
+        "AS first_signup_us FROM clk JOIN sig USING (user_id) "
+        "WHERE c_us > s_us AND c_us <= s_us + 86400000000 "
+        "GROUP BY click_id")
+
     # CAST(sum(...) AS BIGINT): DuckDB sum(INTEGER) yields HUGEINT, which
     # the driver's value normalization hashes differently from Spark's
     # bigint even when numerically equal — pin both sides to int64.
