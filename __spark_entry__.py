@@ -588,6 +588,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                            .cast("double").alias("total_value"))
     q["streaming_tumbling_counts"] = _stream
 
+    def _session_stream(s, d):
+        from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+            run_session_stream_once,
+        )
+        schema = _read(s, d, "events").schema
+        return run_session_stream_once(
+            s, os.path.join(d, "events.parquet"), schema,
+            query_name=f"owr_sess_{abs(hash(d)) % 99999}")
+    q["streaming_session_windows"] = _session_stream
+
     def _stateful(s, d):
         from omi_cpp_parquet_wide_record_spark.streaming.stateful import (
             run_stateful_once,
@@ -799,6 +809,20 @@ def oracle_sql() -> dict[str, str]:
 
     # stateful streaming totals == the batch sessionize aggregate
     sql["streaming_stateful_sessionize"] = _sessionize_sql
+
+    # session_window end == last event + gap; same-session rule is
+    # "gap to previous event <= 30 min" => new session on strict >
+    sql["streaming_session_windows"] = (
+        "WITH g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN lag(ts) OVER w IS NULL OR epoch_us(ts) - "
+        "epoch_us(lag(ts) OVER w) > 30*60*1000000 THEN 1 ELSE 0 END AS brk "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+        "SELECT user_id, min(epoch_us(ts)) AS sess_start_us, "
+        "max(epoch_us(ts)) + 30*60*1000000 AS sess_end_us, "
+        "count(*) AS n_events FROM s GROUP BY user_id, sid")
 
     sql["asof_join_enrich"] = (
         "WITH clicks AS (SELECT event_id, user_id, ts, value FROM events "

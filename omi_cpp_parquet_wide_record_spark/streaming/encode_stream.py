@@ -27,6 +27,44 @@ def tumbling_counts(events: DataFrame, ts_col: str = "ts",
                     F.round("total_value", 4).alias("total_value")))
 
 
+def session_windows(events: DataFrame, ts_col: str = "ts",
+                    key_col: str = "user_id", gap: str = "30 minutes",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Spark-native session windows (dynamic-gap state store): one row per
+    (user, session) with start/end micros and event count. The watermark
+    evicts closed sessions from state — the late-data story the reference
+    has no analogue for."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(ts_col, gap).alias("w"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(key_col,
+                    F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+                    F.unix_micros(F.col("w.end")).alias("sess_end_us"),
+                    "n_events"))
+
+
+def run_session_stream_once(spark: SparkSession, src_path: str, schema,
+                            query_name: str = "owr_sessions") -> DataFrame:
+    """Drive the session-window aggregate over a parquet-backed stream to
+    completion (memory sink, complete mode); returns the final sessions."""
+    import os
+    import tempfile
+    if os.path.isfile(src_path):
+        d = tempfile.mkdtemp(prefix="owr_sess_src_")
+        os.symlink(src_path, os.path.join(d, os.path.basename(src_path)))
+        src_path = d
+    events = (spark.readStream.schema(schema).format("parquet")
+              .option("path", src_path).load())
+    out = session_windows(events)
+    q = (out.writeStream.outputMode("complete").format("memory")
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
+
+
 def run_stream_once(spark: SparkSession, src_path: str, schema,
                     query_name: str = "owr_stream") -> DataFrame:
     """Drive a parquet-source stream to completion synchronously (memory

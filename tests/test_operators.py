@@ -339,3 +339,27 @@ def test_multimodal_batch_matches_scalar(spark, docs):
         xs = np.minimum((np.arange(4) * w) // 4, w - 1)
         assert _decode_payload(resized[i]).tolist() == \
             img[ys][:, xs].tolist()
+
+
+def test_session_windows_stream(spark, tmp_path):
+    from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+        run_session_stream_once,
+    )
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 00:55:00"),
+            (2, "2024-01-01 02:00:00"), (2, "2024-01-01 02:05:00")]
+    src = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    p = str(tmp_path / "src")
+    src.write.parquet(p)
+    out = run_session_stream_once(spark, p, src.schema,
+                                  query_name="t_sessw").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert len(per_user[1]) == 2            # 45-min gap splits user 1
+    assert len(per_user[2]) == 1
+    s1 = sorted(per_user[1], key=lambda r: r.sess_start_us)[0]
+    assert s1.n_events == 2                 # 00:00 + 00:10 merge
+    # end = last event + gap (30 min)
+    assert s1.sess_end_us - s1.sess_start_us == 40 * 60 * 1_000_000
