@@ -470,7 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- training-data pipeline: dedup family
     q["dedup_exact_groups"] = lambda s, d: dedup.exact_duplicates(
         _read(s, d, "documents"))
-    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs(
+    # prefix-filtered exact Jaccard: sub-quadratic candidates WITHOUT any
+    # frequency cap, so no capped-vs-oracle divergence class exists at all
+    q["dedup_ngram_jaccard"] = lambda s, d: dedup.ngram_jaccard_pairs_prefix(
         _read(s, d, "documents"), threshold=0.5, n=3)
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _read(s, d, "documents"), threshold=0.6)
@@ -837,17 +839,14 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_exact_groups"] = (
         "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups "
         "FROM documents GROUP BY md5(text)")
-    # the doc-frequency stop-shingle cap (max_doc_freq=1000) is mirrored
-    # here — the impl drops shingles appearing in >1000 docs before the
-    # self-join, so the oracle must too (latent divergence at larger sf
-    # otherwise: VERDICT r1 "what's wrong" #2)
+    # the Spark side uses exact prefix filtering (no frequency cap), so the
+    # oracle is the plain uncapped exact Jaccard — identical by the prefix
+    # filter's superset-of-candidates guarantee
     sql["dedup_ngram_jaccard"] = (
         "WITH words AS (SELECT doc_id, string_split(text, ' ') AS w "
         "FROM documents), "
-        "sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s "
+        "sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s "
         "FROM words, UNNEST(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)), "
-        "kept AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 1000), "
-        "sh AS (SELECT doc_id, s FROM sh0 JOIN kept USING (s)), "
         "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
         "FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id "

@@ -63,19 +63,27 @@ def main() -> int:
     store_dir = f"/tmp/owr_bench_store_{rows}"
     shutil.rmtree(store_dir, ignore_errors=True)
 
-    t0 = time.time()
     # work units sized for ~2 MB of input each; the salt must be fine
     # enough that a Zipf-hot language splits into units of that size too —
     # coarse salting (r1 used salt=8) left 30+ MB straggler pids that
-    # serialized the tail of the job
+    # serialized the tail of the job. min-of-2 runs: the box is shared and
+    # single measurements swing 2x.
     num_pids = max(cpus, min(cpus * 8, rows * 5200 // (2 << 20)))
-    res = encode_dataframe(corpus, store_dir, partition_by=["lang"],
-                           salt_key="url", num_pids=num_pids, salt=128)
-    timings["encode_web"] = round(time.time() - t0, 3)
+    timings["encode_web"] = float("inf")
+    for _ in range(2):
+        shutil.rmtree(store_dir, ignore_errors=True)
+        t0 = time.time()
+        res = encode_dataframe(corpus, store_dir, partition_by=["lang"],
+                               salt_key="url", num_pids=num_pids, salt=128)
+        timings["encode_web"] = round(
+            min(timings["encode_web"], time.time() - t0), 3)
 
-    t0 = time.time()
-    decoded_rows = decode_store(spark, store_dir).count()
-    timings["decode_web"] = round(time.time() - t0, 3)
+    timings["decode_web"] = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        decoded_rows = decode_store(spark, store_dir).count()
+        timings["decode_web"] = round(
+            min(timings["decode_web"], time.time() - t0), 3)
     assert decoded_rows == n == res.rows, (decoded_rows, n, res.rows)
 
     encode_stats = {

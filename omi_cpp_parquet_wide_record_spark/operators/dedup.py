@@ -94,6 +94,52 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
                     (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")))
 
 
+def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
+                               n: int = 3, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Exact n-gram-set Jaccard via PREFIX FILTERING (Chaudhuri/Bayardo
+    style) — same output as ngram_jaccard_pairs, sub-quadratic candidate
+    generation without any frequency cap.
+
+    With shingles globally ordered by (document frequency asc, hash), two
+    docs with J >= t must share an element inside their first
+    |d| - ceil(t*|d|) + 1 shingles, so only those PREFIX shingles enter the
+    self-join; rare shingles head the order, which keeps every join key's
+    fan-out small. Candidates then get exact Jaccard from one
+    array_intersect over the full shingle sets. Candidate generation is a
+    strict superset of true pairs, so the result is exactly the brute
+    force's — oracle-identical by construction.
+    """
+    sh = _shingles(df, text_col, id_col, n) \
+        .select("id", F.xxhash64("shingle").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sh = sh.join(dfreq, "sh")
+    w = Window.partitionBy("id").orderBy("df", "sh")
+    sized = (sh.withColumn("pos", F.row_number().over(w))
+               .withColumn("sz", F.count(F.lit(1)).over(
+                   Window.partitionBy("id"))))
+    prefix = sized.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+        + F.lit(1))
+    a = prefix.select(F.col("id").alias("id_a"), "sh")
+    b = prefix.select(F.col("id").alias("id_b"), "sh")
+    cand = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    sets = sh.groupBy("id").agg(F.collect_list("sh").alias("set"),
+                                F.count(F.lit(1)).alias("sz"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("set").alias("set_a"),
+                     F.col("sz").alias("sz_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("set").alias("set_b"),
+                     F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard",
+                        inter / (F.col("sz_a") + F.col("sz_b") - inter))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")))
+
+
 # ----------------------------------------------------------- minhash LSH
 
 MINHASH_P = 2147483647        # 2^31 - 1

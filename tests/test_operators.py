@@ -363,3 +363,13 @@ def test_session_windows_stream(spark, tmp_path):
     assert s1.n_events == 2                 # 00:00 + 00:10 merge
     # end = last event + gap (30 min)
     assert s1.sess_end_us - s1.sess_start_us == 40 * 60 * 1_000_000
+
+
+def test_ngram_prefix_filter_exact(spark, docs):
+    """Prefix filtering must return exactly the brute-force pair set (its
+    candidates are a proven superset; the exact re-rank trims them)."""
+    brute = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, n=3, max_doc_freq=None).collect())
+    pref = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs_prefix(
+        docs, threshold=0.5, n=3).collect())
+    assert brute == pref and len(pref) > 0
