@@ -247,7 +247,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     minhash lanes >= threshold (an exact dyadic rational — no rounding).
     """
     rows_per_band = n_perms // bands
-    sigs = minhash_signatures(df, text_col, id_col, n_perms, n_shingle, seed)
+    # the signature frame feeds three consumers (band buckets + both
+    # join-backs); persist so the MinHash kernel runs once, not three times
+    # — signatures are tiny (n_docs x n_perms longs) at any scale
+    sigs = minhash_signatures(df, text_col, id_col, n_perms, n_shingle,
+                              seed).persist()
 
     # per-band hash: base-31 positional fold of the band's lanes (each lane
     # < 2^31, so the fold stays < 2^46 — BIGINT-safe for the SQL oracle)
