@@ -499,6 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "embeddings"), threshold=0.2)
     q["ann_ivf_assign"] = lambda s, d: similarity.ivf_assign(
         _read(s, d, "embeddings"))
+    q["ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _read(s, d, "embeddings"),
+        _read(s, d, "embeddings").filter(F.col("vec_id") < 10),
+        k=5, nprobe=2)
 
     # ---------------- multimodal plumbing
     q["mm_metadata"] = lambda s, d: _read(s, d, "documents").select(
@@ -1045,6 +1049,42 @@ def oracle_sql() -> dict[str, str]:
         "r AS (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id "
         "ORDER BY s DESC, c ASC) AS rk FROM s) "
         "SELECT vec_id AS id, CAST(c AS INT) AS centroid FROM r WHERE rk = 1")
+
+    # IVF probe search: same integer centroid/score arithmetic, so cell
+    # assignment, probe selection, AND the re-ranked result all reproduce
+    _ivf_cte = (
+        "w0 AS (SELECT i, ((i + 5636053) * 2654435761) % 4294967296 AS v "
+        "FROM range(1024) t(i)), "
+        "w1 AS (SELECT i, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM w0), "
+        "w2 AS (SELECT i, (xor(v, v >> 16) * 73244475) % 4294967296 AS v "
+        "FROM w1), "
+        "w AS (SELECT i // 64 AS c, i % 64 AS d, "
+        "xor(v, v >> 16) % 2001 - 1000 AS wt FROM w2), "
+        "q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
+        "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) "
+        "AS qv FROM embeddings), "
+        "s AS (SELECT q.vec_id, w.c, sum(q.qv * w.wt) AS s "
+        "FROM q JOIN w USING (d) GROUP BY 1, 2), "
+        "r AS (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id "
+        "ORDER BY s DESC, c ASC) AS rk FROM s)")
+    sql["ann_ivf_topk"] = (
+        f"WITH {_ivf_cte}, "
+        "assign AS (SELECT vec_id AS neighbor_id, c AS centroid FROM r "
+        "WHERE rk = 1), "
+        "probes AS (SELECT vec_id AS query_id, c AS centroid FROM r "
+        "WHERE rk <= 2 AND vec_id < 10), "
+        "cand AS (SELECT query_id, neighbor_id FROM probes "
+        "JOIN assign USING (centroid) WHERE query_id != neighbor_id), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        f"floor(({cos_ab}) * 10000) / 10000 AS cosine FROM cand "
+        "JOIN embeddings a ON a.vec_id = query_id "
+        "JOIN embeddings b ON b.vec_id = neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() "
+        "OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) "
+        "AS rk FROM scored) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk "
+        "FROM ranked WHERE rk <= 5")
 
     # media kernels vs the scalar per-image golden (independent impl);
     # payloads depend only on (id, seed) so the golden is sf-agnostic

@@ -207,3 +207,73 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
                 names=["id", "centroid"])
 
     return src.mapInArrow(task, "id long, centroid int")
+
+
+def _int_scores(df: DataFrame, n_centroids: int, seed: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """(id, centroid, score) — exact integer inner products against every
+    centroid (the ranking surface behind ivf_assign / probe selection)."""
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    state = {"cents": None}
+
+    def task(batches):
+        for b in batches:
+            ids = b.column("id").to_numpy()
+            lst = b.column("v")
+            flat = lst.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            n = len(ids)
+            if n == 0:
+                continue
+            dim = len(flat) // n
+            if state["cents"] is None or state["cents"].shape[1] != dim:
+                state["cents"] = int_hyperplanes(dim, n_centroids, seed + 1)
+            q = np.floor(flat * LSH_SCALE).astype(np.int64).reshape(n, dim)
+            scores = q @ state["cents"].T                  # (n, n_centroids)
+            cid = np.tile(np.arange(n_centroids, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.repeat(ids, n_centroids), type=pa.int64()),
+                 pa.array(cid, type=pa.int32()),
+                 pa.array(scores.ravel(), type=pa.int64())],
+                names=["id", "centroid", "score"])
+
+    return src.mapInArrow(task, "id long, centroid int, score long")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             nprobe: int = 2, n_centroids: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """IVF probe search: corpus vectors live in their assigned centroid
+    cell; each query probes only its `nprobe` best cells and exact-cosine
+    re-ranks the candidates — the classic two-level ANN index shape, where
+    at 10^12 vectors the corpus is *repartitioned by centroid* and a query
+    touches nprobe partitions instead of the whole table.
+
+    Assignment and probe selection are exact integer arithmetic (ties to
+    the lower centroid id), so the whole index structure — not just the
+    re-rank — is deterministic and SQL-reproducible.
+    """
+    ca = ivf_assign(corpus, n_centroids, id_col, vec_col, seed) \
+        .withColumnRenamed("id", "neighbor_id")
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("centroid").asc())
+    probes = (_int_scores(queries, n_centroids, seed, id_col, vec_col)
+              .withColumn("prk", F.row_number().over(w))
+              .filter(F.col("prk") <= nprobe)
+              .select(F.col("id").alias("query_id"), "centroid"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+    cand = (F.broadcast(probes).join(ca, "centroid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id"))
+    scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+              .withColumn("cosine", trunc(_cosine(F.col("qv"),
+                                                   F.col("cv")), 4)))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(rw))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rk"))

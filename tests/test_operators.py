@@ -373,3 +373,27 @@ def test_ngram_prefix_filter_exact(spark, docs):
     pref = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs_prefix(
         docs, threshold=0.5, n=3).collect())
     assert brute == pref and len(pref) > 0
+
+
+def test_ivf_topk_recall(spark):
+    """IVF probe search must recover most of the exact top-k: nprobe=2 of
+    16 cells on smooth synthetic vectors. Also pins determinism (integer
+    assignment) across two runs."""
+    import numpy as np
+    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+    n, dim = 240, 16
+    raw = splitmix64(np.arange(n * dim, dtype=np.uint64) + np.uint64(7))
+    vecs = (raw.astype(np.float64) / 2.0**64 - 0.5).reshape(n, dim)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = df.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in similarity.cosine_topk(df, qdf, k=3).collect()}
+    got1 = similarity.ivf_topk(df, qdf, k=3, nprobe=4, n_centroids=8)
+    res1 = {(r.query_id, r.neighbor_id) for r in got1.collect()}
+    res2 = {(r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(df, qdf, k=3, nprobe=4,
+                                         n_centroids=8).collect()}
+    assert res1 == res2                      # deterministic index
+    recall = len(exact & res1) / len(exact)
+    assert recall >= 0.5, recall             # probing 4/8 cells finds most
