@@ -61,6 +61,99 @@ def stateful_session_counts(events: DataFrame, gap_minutes: int = 30
                 "update", GroupStateTimeout.NoTimeout))
 
 
+CLOSED_SCHEMA = "user_id long, sess_start_us long, sess_end_us long, " \
+                "n_events long"
+CLOSED_STATE = "start_us long, last_us long, n_events long"
+
+
+def _closing_fn(gap_us: int):
+    """Emit a session row only when the session CLOSES — either a new event
+    arrives past the gap, or the event-time timeout fires after the
+    watermark passes last_event + gap (state is then evicted). This is the
+    pattern that bounds state at 10^12 events: closed sessions leave the
+    state store instead of accumulating."""
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+        out = []
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            out.append((key[0], start_us, last_us + gap_us, n))
+            state.remove()
+            yield pd.DataFrame(out, columns=["user_id", "sess_start_us",
+                                             "sess_end_us", "n_events"])
+            return
+        ts = []
+        for pdf in pdfs:
+            v = pdf["ts"].astype("int64").to_numpy()
+            if str(pdf["ts"].dtype).endswith("[ns]"):
+                v = v // 1000
+            ts.append(v)
+        arr = np.sort(np.concatenate(ts)) if ts else np.array([], np.int64)
+        if len(arr) == 0:
+            yield pd.DataFrame([], columns=["user_id", "sess_start_us",
+                                            "sess_end_us", "n_events"])
+            return
+        # vectorized gaps-and-islands over the batch; the carried state
+        # either extends the first island or closes first
+        carry_start, carry_last, carry_n = (state.get if state.exists
+                                            else (None, None, 0))
+        if carry_last is not None and int(arr[0]) - carry_last > gap_us:
+            out.append((key[0], carry_start, carry_last + gap_us, carry_n))
+            carry_start, carry_n = None, 0
+        brk = np.flatnonzero(arr[1:] - arr[:-1] > gap_us)
+        seg_lo = np.concatenate(([0], brk + 1))
+        seg_hi = np.concatenate((brk, [len(arr) - 1]))
+        counts = (seg_hi - seg_lo + 1).astype(np.int64)
+        starts = arr[seg_lo].copy()
+        if carry_start is not None:            # first island continues it
+            starts[0] = carry_start
+            counts[0] += carry_n
+        # every island but the last closes inside this batch
+        for i in range(len(seg_lo) - 1):       # loop over ISLANDS, not rows
+            out.append((key[0], int(starts[i]),
+                        int(arr[seg_hi[i]]) + gap_us, int(counts[i])))
+        start_us = int(starts[-1])
+        last_us = int(arr[-1])
+        n = int(counts[-1])
+        state.update((start_us, last_us, n))
+        # evict once the watermark passes the session end
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+        yield pd.DataFrame(out, columns=["user_id", "sess_start_us",
+                                         "sess_end_us", "n_events"])
+
+    return fn
+
+
+def closed_sessions(events: DataFrame, gap_minutes: int = 30,
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming (user_id, ts, ...) -> one row per CLOSED session, with
+    event-time timeouts evicting idle sessions from the state store."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.col("user_id"))
+            .applyInPandasWithState(
+                _closing_fn(gap_us), CLOSED_SCHEMA, CLOSED_STATE,
+                "append", GroupStateTimeout.EventTimeTimeout))
+
+
+def run_closed_sessions_once(spark, src_dir: str, schema,
+                             query_name: str = "owr_closed") -> DataFrame:
+    """Drive closed_sessions over a directory of parquet files, one file
+    per micro-batch (maxFilesPerTrigger=1) so the watermark advances
+    between batches and event-time timeouts actually fire."""
+    events = (spark.readStream.schema(schema).format("parquet")
+              .option("path", src_dir).option("maxFilesPerTrigger", 1)
+              .load())
+    out = closed_sessions(events)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(query_name).trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(query_name)
+
+
 def run_stateful_once(spark, src_path: str, schema,
                       query_name: str = "owr_stateful") -> DataFrame:
     """Drive the stateful operator over a parquet-backed stream to

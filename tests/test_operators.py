@@ -397,3 +397,44 @@ def test_ivf_topk_recall(spark):
     assert res1 == res2                      # deterministic index
     recall = len(exact & res1) / len(exact)
     assert recall >= 0.5, recall             # probing 4/8 cells finds most
+
+
+def test_closed_sessions_timeout_eviction(spark, tmp_path):
+    """Sessions must emit when they CLOSE: by a later event past the gap,
+    or by event-time timeout once the watermark passes session end — the
+    state-bounding behavior that matters at stream scale."""
+    import os
+    from omi_cpp_parquet_wide_record_spark.streaming.stateful import (
+        run_closed_sessions_once,
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema_df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    def put(name, rows):
+        import glob
+        import shutil
+        tmp = os.path.join(str(tmp_path), f"stage_{name}")
+        (spark.createDataFrame(rows, "user_id long, ts string")
+         .withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+         .write.parquet(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+
+    # batch 1: user 1 session A (2 events)
+    put("b0", [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00")])
+    # batch 2: user 1 returns 3h later -> closes A by gap; opens B
+    put("b1", [(1, "2024-01-01 03:00:00")])
+    # batch 3: unrelated user far in the future -> watermark passes B's
+    # end -> B closes by TIMEOUT and its state is evicted
+    put("b2", [(9, "2024-01-01 10:00:00")])
+
+    out = run_closed_sessions_once(spark, src, schema_df.schema,
+                                   query_name="t_closed").collect()
+    sess = sorted([(r.user_id, r.sess_start_us, r.n_events) for r in out])
+    base = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC
+    assert (1, base, 2) in sess                       # A closed by gap
+    assert (1, base + 3 * 3600 * 1_000_000, 1) in sess  # B closed by timeout
+    assert all(u != 9 for u, *_ in sess)              # user 9 still open
