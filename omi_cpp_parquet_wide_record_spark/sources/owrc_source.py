@@ -1,22 +1,35 @@
 """Spark Python DataSource for the engine's chunk store (format "owrc").
 
 The reference's only source is a pcap file iterator (O1, ref NQ:3777-3809);
-the engine's native format deserves a first-class Spark source in return:
+the engine's native format deserves a first-class Spark source AND sink:
 
     from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
         OwrcDataSource)
     spark.dataSource.register(OwrcDataSource)
     df = spark.read.format("owrc").load("/path/to/store")
+    df.write.format("owrc").mode("overwrite").save("/path/to/store")
 
-One input partition per chunk file (so a 10^12-row store fans out over the
-cluster), column pruning pushed into the chunk footer (only requested
-columns are decoded), and batches stream out as Arrow — the engine's decode
-kernels never materialize Python rows.
+Read: one input partition per chunk file (so a 10^12-row store fans out
+over the cluster), column pruning pushed into the chunk footer (only
+requested columns are decoded), batches stream out as Arrow. Write: each
+task encodes its partition's Arrow batches into chunk files and returns
+only manifest rows as its commit message; the driver's commit() writes the
+manifest and flips the snapshot pointer atomically — Spark's two-phase
+writer protocol mapped 1:1 onto the store's Iceberg-style commit, so a
+failed job leaves only invisible orphan chunks. The engine's kernels never
+materialize Python rows on either path.
+
+For resume-from-checkpoint and content-derived work units use
+operators.encode.encode_dataframe; this sink is the plain df.write idiom
+(work unit = Spark partition).
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource, DataSourceArrowWriter, DataSourceReader, InputPartition,
+    WriterCommitMessage,
+)
 
 
 class OwrcInputPartition(InputPartition):
@@ -49,6 +62,87 @@ class OwrcReader(DataSourceReader):
         yield from table.select(cols).to_batches()
 
 
+class OwrcCommitMessage(WriterCommitMessage):
+    def __init__(self, rows: list[dict]):
+        self.rows = rows
+
+
+class OwrcArrowWriter(DataSourceArrowWriter):
+    def __init__(self, schema, options, overwrite: bool):
+        import shutil
+        import uuid
+        from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("owrc sink needs a path")
+        self.schema = schema
+        self.chunk_rows = int(options.get("chunk_rows", 65536))
+        self.chunk_bytes = int(options.get("chunk_bytes", 64 << 20))
+        self.run_id = uuid.uuid4().hex
+        if overwrite:                      # driver-side, before any task
+            shutil.rmtree(self.root, ignore_errors=True)
+        ChunkStore(self.root).create()
+
+    def write(self, iterator):
+        """Executor side: Arrow batches -> encoded chunk files; only
+        manifest metadata travels back to the driver."""
+        import os
+        import uuid
+        import pyarrow as pa
+        from pyspark import TaskContext
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            _write_chunk,
+        )
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
+        tag = f"{self.run_id[:8]}-w{uuid.uuid4().hex[:6]}"
+        chunks_dir = os.path.join(self.root, "chunks")
+        plan_cache: dict = {}
+        rows: list[dict] = []
+        acc: list[pa.RecordBatch] = []
+        acc_rows = acc_bytes = seq = 0
+
+        def flush():
+            nonlocal acc, acc_rows, acc_bytes, seq
+            if not acc:
+                return
+            tbl = pa.Table.from_batches(acc)
+            rows.extend(_write_chunk(chunks_dir, pid, seq, tbl, plan_cache,
+                                     self.run_id, tag))
+            seq += 1
+            acc, acc_rows, acc_bytes = [], 0, 0
+
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            acc.append(batch)
+            acc_rows += batch.num_rows
+            acc_bytes += batch.nbytes
+            if acc_rows >= self.chunk_rows or acc_bytes >= self.chunk_bytes:
+                flush()
+        flush()
+        return OwrcCommitMessage(rows)
+
+    def commit(self, messages):
+        """Driver side: one atomic snapshot commit over every task's
+        manifest rows (the two-phase protocol's visibility flip)."""
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+            MANIFEST_SCHEMA, ChunkStore,
+        )
+        rows = [r for m in messages for r in m.rows]
+        cols = {f.name: [r[f.name] for r in rows] for f in MANIFEST_SCHEMA}
+        manifest = pa.Table.from_pydict(cols, schema=MANIFEST_SCHEMA)
+        ChunkStore(self.root).commit(manifest, to_arrow_schema(self.schema),
+                                     self.run_id)
+
+    def abort(self, messages):
+        # nothing to undo: the pointer never flipped, so the written chunk
+        # files are invisible orphans (removable by plans/gc.py)
+        pass
+
+
 class OwrcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -61,3 +155,6 @@ class OwrcDataSource(DataSource):
 
     def reader(self, schema):
         return OwrcReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return OwrcArrowWriter(schema, self.options, overwrite)

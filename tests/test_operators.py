@@ -438,3 +438,31 @@ def test_closed_sessions_timeout_eviction(spark, tmp_path):
     assert (1, base, 2) in sess                       # A closed by gap
     assert (1, base + 3 * 3600 * 1_000_000, 1) in sess  # B closed by timeout
     assert all(u != 9 for u, *_ in sess)              # user 9 still open
+
+
+def test_owrc_datasource_write_path(spark, tmp_path):
+    """df.write.format('owrc') — Spark's two-phase writer protocol mapped
+    onto the store's snapshot commit: encoded by the engine's kernels,
+    committed atomically, readable back bit-identically by both the
+    DataSource reader and decode_store."""
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    spark.dataSource.register(OwrcDataSource)
+    out = str(tmp_path / "wstore")
+    corpus = FX.web_pages_df(spark, 1200, partitions=3).persist()
+    corpus.write.format("owrc").mode("overwrite").save(out)
+    m = ChunkStore(out).metrics()
+    assert m["rows"] == 1200 and m["bytes_out"] < m["bytes_in"]
+    back = decode_store(spark, out)
+    assert back.count() == 1200
+    a = sorted(corpus.select("url", "text").collect())
+    b = sorted(back.select("url", "text").collect())
+    assert a == b
+    # overwrite replaces, not appends
+    corpus.limit(300).write.format("owrc").mode("overwrite").save(out)
+    assert spark.read.format("owrc").load(out).count() == 300
+    corpus.unpersist()
