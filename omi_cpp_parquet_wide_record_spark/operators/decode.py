@@ -60,16 +60,21 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
 
 def decode_store(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
-                 check_sha: bool = False) -> DataFrame:
-    """The live snapshot as a DataFrame (distributed decode)."""
+                 check_sha: bool = False,
+                 snapshot: int | None = None) -> DataFrame:
+    """A committed snapshot as a DataFrame (distributed decode).
+
+    ``snapshot=N`` time-travels to snapshot #N (Iceberg-style as-of read);
+    default is the live snapshot `_current` points to."""
     store = ChunkStore(out_dir)
-    snap = store.current_snapshot()
+    snap = store.snapshot_at(snapshot) if snapshot is not None \
+        else store.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no snapshot at {out_dir}")
-    schema = store.arrow_schema()
+    schema = store.arrow_schema(snap)
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
-    manifest = store.manifest_table()
+    manifest = store.manifest_table(snap)
     files = sorted(set(manifest.column("chunk_file").to_pylist()))
     chunks_dir = store.chunks_dir
 

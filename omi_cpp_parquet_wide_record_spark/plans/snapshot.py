@@ -73,6 +73,25 @@ class ChunkStore:
         with open(os.path.join(self.snapshots_dir, name)) as f:
             return json.load(f)
 
+    def snapshot_at(self, n: int) -> dict:
+        """Time travel: load committed snapshot #n (Iceberg's
+        snapshot-id / as-of read). Raises if expired or never committed."""
+        path = os.path.join(self.snapshots_dir, f"snapshot-{n:05d}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot {n} not found under {self.snapshots_dir} "
+                "(expired by GC or never committed)")
+        with open(path) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """All retained snapshots, oldest first (the table history)."""
+        out = []
+        for name in sorted(os.listdir(self.snapshots_dir)):
+            with open(os.path.join(self.snapshots_dir, name)) as f:
+                out.append(json.load(f))
+        return out
+
     def committed_pids(self) -> set[int]:
         snap = self.current_snapshot()
         return set(snap["committed_pids"]) if snap else set()
@@ -86,17 +105,17 @@ class ChunkStore:
             return set()
         return set(m.column("run_id").to_pylist())
 
-    def manifest_table(self) -> pa.Table:
-        """All manifest rows of the live snapshot."""
-        snap = self.current_snapshot()
+    def manifest_table(self, snapshot: dict | None = None) -> pa.Table:
+        """All manifest rows of a snapshot (default: the live one)."""
+        snap = snapshot or self.current_snapshot()
         if not snap or not snap["manifests"]:
             return MANIFEST_SCHEMA.empty_table()
         tables = [pq.read_table(os.path.join(self.manifests_dir, m))
                   for m in snap["manifests"]]
         return pa.concat_tables(tables)
 
-    def arrow_schema(self) -> pa.Schema:
-        snap = self.current_snapshot()
+    def arrow_schema(self, snapshot: dict | None = None) -> pa.Schema:
+        snap = snapshot or self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under {self.root}")
         import base64

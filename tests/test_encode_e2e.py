@@ -131,3 +131,29 @@ def test_salting_spreads_skewed_lang(spark, tmp_path):
     # hot lang is 90% of 3000; with salt=8 no pid should exceed ~1/8 of it
     assert top < 0.25 * 3000, rows_per_pid
     assert len(rows_per_pid) >= 8
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg-style as-of read: decode_store(snapshot=N) reproduces the
+    table exactly as committed at snapshot N, after later appends."""
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    out = str(tmp_path / "store")
+    corpus = FX.web_pages_df(spark, 2000, partitions=2).persist()
+    first = corpus.limit(800)
+    encode_dataframe(first, out, salt_key="url", num_pids=4)
+    # second commit adds the rest (resume skips nothing: new pids)
+    encode_dataframe(corpus, out, salt_key="url", num_pids=16)
+    store = ChunkStore(out)
+    hist = store.snapshots()
+    assert [s["n"] for s in hist] == [0, 1]
+    assert decode_store(spark, out).count() > 800          # live = both
+    assert decode_store(spark, out, snapshot=0).count() == 800
+    urls0 = {r.url for r in
+             decode_store(spark, out, snapshot=0).select("url").collect()}
+    assert urls0 == {r.url for r in first.select("url").collect()}
+    corpus.unpersist()
