@@ -47,6 +47,15 @@ from omi_cpp_parquet_wide_record_spark.selector import choose_codec
 CHUNK_MAGIC = b"OWRC1"
 PID_COL = "__owr_pid"
 
+# Worker-global codec plan cache. Spark reuses Python worker processes
+# across tasks (spark.python.worker.reuse), so one trial-selection per
+# (run, partition value, column) serves every task the worker executes —
+# without it, each of the (possibly hundreds of) tasks re-ran the selector
+# trials for the same language groups. Keyed by run_id so distinct jobs
+# never share plans; size-capped as a leak guard.
+_WORKER_PLAN_CACHE: dict = {}
+_WORKER_PLAN_CACHE_MAX = 65536
+
 
 @dataclass
 class EncodeResult:
@@ -85,7 +94,7 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
         arr = table.column(name)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
-        key = (gkey, name)
+        key = (run_id, gkey, name)   # run-scoped: jobs never share plans
         forced = (overrides or {}).get(name)
         if key not in plan_cache:
             plan_cache[key] = forced or choose_codec(arr).codec
@@ -143,7 +152,9 @@ def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
         from pyspark import TaskContext
         tc = TaskContext.get()
         tag = f"{run_id[:8]}-t{tc.taskAttemptId() if tc else 0}-{uuid.uuid4().hex[:6]}"
-        plan_cache: dict = {}
+        if len(_WORKER_PLAN_CACHE) > _WORKER_PLAN_CACHE_MAX:
+            _WORKER_PLAN_CACHE.clear()
+        plan_cache: dict = _WORKER_PLAN_CACHE
         acc: dict[int, list[pa.RecordBatch]] = {}
         acc_rows: dict[int, int] = {}
         acc_bytes: dict[int, int] = {}
