@@ -53,7 +53,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     n_src = _pq.ParquetFile(
         os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
     key = hashlib.sha256(
-        f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}|v3"
+        f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}|v4"
         .encode()).hexdigest()[:16]
     out = os.path.join(_STORE_ROOT, key)
     ok = False

@@ -58,14 +58,66 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
     return pa.table(dict(zip(names, arrays)))
 
 
+_PRUNE_OPS = {
+    "<": lambda lo, hi, v: lo < v,       # chunk may hold a value < v
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+    "==": lambda lo, hi, v: lo <= v <= hi,
+}
+
+
+def prune_files(manifest: pa.Table,
+                filters: list[tuple[str, str, object]]) -> list[str]:
+    """Zone-map pruning: keep only chunk files whose per-column min/max
+    stats could satisfy EVERY filter (conjunction). Conservative — files
+    without stats for a filtered column always survive. Driver-side over
+    the (tiny) manifest; timestamps compare as epoch micros."""
+    import datetime
+    import json as _json
+
+    def _norm(v):
+        # stats store timestamps as epoch micros; normalize filter values
+        if isinstance(v, datetime.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        return v
+
+    filters = [(c, op, _norm(v)) for c, op, v in filters]
+    keep: dict[str, bool] = {}
+    stats: dict[tuple[str, str], tuple] = {}
+    for i in range(manifest.num_rows):
+        f = manifest.column("chunk_file")[i].as_py()
+        keep.setdefault(f, True)
+        smin = manifest.column("stat_min")[i].as_py()
+        smax = manifest.column("stat_max")[i].as_py()
+        if smin is not None:
+            stats[(f, manifest.column("column")[i].as_py())] = (
+                _json.loads(smin), _json.loads(smax))
+    for (f, col), (lo, hi) in stats.items():
+        for fc, op, v in filters:
+            if fc == col and op in _PRUNE_OPS \
+                    and not _PRUNE_OPS[op](lo, hi, v):
+                keep[f] = False
+    return sorted(f for f, k in keep.items() if k)
+
+
 def decode_store(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  check_sha: bool = False,
-                 snapshot: int | None = None) -> DataFrame:
+                 snapshot: int | None = None,
+                 filters: list[tuple[str, str, object]] | None = None
+                 ) -> DataFrame:
     """A committed snapshot as a DataFrame (distributed decode).
 
     ``snapshot=N`` time-travels to snapshot #N (Iceberg-style as-of read);
-    default is the live snapshot `_current` points to."""
+    default is the live snapshot `_current` points to.
+
+    ``filters=[(col, op, value), ...]`` (ops: < <= > >= ==, ANDed) pushes
+    the predicate into the store: chunk files whose zone maps cannot
+    satisfy it are never opened, and the exact filter is applied to the
+    surviving rows — semantics identical to a post-hoc .filter()."""
     store = ChunkStore(out_dir)
     snap = store.snapshot_at(snapshot) if snapshot is not None \
         else store.current_snapshot()
@@ -75,7 +127,10 @@ def decode_store(spark: SparkSession, out_dir: str,
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
     manifest = store.manifest_table(snap)
-    files = sorted(set(manifest.column("chunk_file").to_pylist()))
+    if filters:
+        files = prune_files(manifest, filters)
+    else:
+        files = sorted(set(manifest.column("chunk_file").to_pylist()))
     chunks_dir = store.chunks_dir
 
     parallelism = min(max(len(files), 1),
@@ -96,4 +151,13 @@ def decode_store(spark: SparkSession, out_dir: str,
                 t = t.select(schema.names).cast(schema)
                 yield from t.to_batches()
 
-    return files_df.mapInArrow(task, spark_schema)
+    out = files_df.mapInArrow(task, spark_schema)
+    if filters:
+        # exact residual filter over the surviving chunks (pruning is
+        # conservative at chunk granularity, this makes it precise)
+        from pyspark.sql import functions as F
+        for c, op, v in filters:
+            col = F.col(c)
+            out = out.filter({"<": col < v, "<=": col <= v, ">": col > v,
+                              ">=": col >= v, "==": col == v}[op])
+    return out

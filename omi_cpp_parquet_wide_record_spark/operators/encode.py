@@ -72,6 +72,27 @@ class EncodeResult:
         return self.bytes_in / self.bytes_out if self.bytes_out else float("nan")
 
 
+def _column_stats(arr: pa.Array) -> tuple[str | None, str | None]:
+    """Zone-map bounds for one chunk column: JSON-encoded min/max of the
+    non-null values (timestamps as epoch micros). None for types without a
+    useful total order here (binary, nested) or all-null chunks."""
+    t = arr.type
+    if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_timestamp(t) or pa.types.is_date(t)
+            or pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_boolean(t)):
+        return None, None
+    if arr.null_count == len(arr):
+        return None, None
+    import pyarrow.compute as pc
+    mm = pc.min_max(arr)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        lo = pa.scalar(lo, type=t).cast(pa.int64()).as_py()
+        hi = pa.scalar(hi, type=t).cast(pa.int64()).as_py()
+    return json.dumps(lo), json.dumps(hi)
+
+
 def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
                  plan_cache: dict, run_id: str, tag: str,
                  overrides: dict | None = None,
@@ -119,12 +140,14 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
             if enc is None:
                 enc = encode_column(arr, "plain")
         digest = hashlib.sha256(enc.payload).hexdigest()
+        smin, smax = _column_stats(arr)
         rows.append({
             "chunk_file": fname, "pid": pid, "seq": seq, "column": name,
             "codec": enc.codec, "params": json.dumps(enc.params),
             "rows": enc.rows, "nulls": enc.nulls, "bytes_in": enc.bytes_in,
             "bytes_out": len(enc.payload), "offset": offset,
             "length": len(enc.payload), "sha256": digest, "run_id": run_id,
+            "stat_min": smin, "stat_max": smax,
         })
         footer_cols.append({"name": name, "codec": enc.codec,
                             "params": enc.params, "offset": offset,
@@ -283,7 +306,7 @@ def _manifest_ddl() -> str:
     return ("chunk_file string, pid int, seq int, column string, codec string,"
             " params string, rows long, nulls long, bytes_in long,"
             " bytes_out long, offset long, length long, sha256 string,"
-            " run_id string")
+            " run_id string, stat_min string, stat_max string")
 
 
 def _spark_to_arrow_schema(df: DataFrame) -> pa.Schema:

@@ -47,6 +47,11 @@ MANIFEST_SCHEMA = pa.schema([
     ("length", pa.int64()),
     ("sha256", pa.string()),
     ("run_id", pa.string()),
+    # zone maps: JSON-encoded min/max of the chunk's non-null values
+    # (Iceberg's lower_bounds/upper_bounds) — readers prune whole chunk
+    # files whose stats cannot satisfy a predicate
+    ("stat_min", pa.string()),
+    ("stat_max", pa.string()),
 ])
 
 
@@ -110,8 +115,15 @@ class ChunkStore:
         snap = snapshot or self.current_snapshot()
         if not snap or not snap["manifests"]:
             return MANIFEST_SCHEMA.empty_table()
-        tables = [pq.read_table(os.path.join(self.manifests_dir, m))
-                  for m in snap["manifests"]]
+        tables = []
+        for m in snap["manifests"]:
+            t = pq.read_table(os.path.join(self.manifests_dir, m))
+            # manifests written before the zone-map columns: pad with nulls
+            for f in MANIFEST_SCHEMA:
+                if f.name not in t.schema.names:
+                    t = t.append_column(
+                        f.name, pa.nulls(t.num_rows, type=f.type))
+            tables.append(t.select(MANIFEST_SCHEMA.names))
         return pa.concat_tables(tables)
 
     def arrow_schema(self, snapshot: dict | None = None) -> pa.Schema:

@@ -46,6 +46,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # let Python DataSources receive pushed filters (owrc zone maps)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # read parquet timestamps as TIMESTAMP (session-UTC), not NTZ —
         # keeps unix_micros/watermarks working and matches the DuckDB oracle
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

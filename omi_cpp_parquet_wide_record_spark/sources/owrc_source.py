@@ -41,15 +41,38 @@ class OwrcReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema = schema
         self.root = options.get("path")
+        self._zone_filters: list[tuple[str, str, object]] = []
         if not self.root:
             raise ValueError("owrc source needs a path")
 
+    def pushFilters(self, filters):
+        """Use comparison filters for zone-map chunk pruning, but yield
+        every filter back as unhandled: pruning is conservative (chunk
+        granularity), so Spark must still apply the exact predicate."""
+        from pyspark.sql.datasource import (
+            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            LessThanOrEqual,
+        )
+        ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
+               LessThan: "<", LessThanOrEqual: "<="}
+        for f in filters:
+            if type(f) in ops and len(f.attribute) == 1:
+                self._zone_filters.append(
+                    (f.attribute[0], ops[type(f)], f.value))
+            yield f
+
     def partitions(self):
         import os
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            prune_files,
+        )
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
         store = ChunkStore(self.root)
         manifest = store.manifest_table()
-        files = sorted(set(manifest.column("chunk_file").to_pylist()))
+        if self._zone_filters:
+            files = prune_files(manifest, self._zone_filters)
+        else:
+            files = sorted(set(manifest.column("chunk_file").to_pylist()))
         return [OwrcInputPartition(os.path.join(store.chunks_dir, f))
                 for f in files]
 

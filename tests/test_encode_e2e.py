@@ -157,3 +157,57 @@ def test_snapshot_time_travel(spark, tmp_path):
              decode_store(spark, out, snapshot=0).select("url").collect()}
     assert urls0 == {r.url for r in first.select("url").collect()}
     corpus.unpersist()
+
+
+def test_zone_map_pruning(spark, tmp_path):
+    """Predicate pushdown into the store: chunk files whose zone maps
+    cannot satisfy the filter are never opened; surviving rows get the
+    exact filter, so results equal a post-hoc .filter()."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        decode_store, prune_files,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    out = str(tmp_path / "store")
+    df = (spark.range(0, 20000)
+          .select(F.col("id"),
+                  (F.col("id") / 2000).cast("long").alias("bucket"),
+                  (F.col("id") % 97).alias("v")))
+    # clustered by id ranges: partition on the bucket -> tight zone maps
+    encode_dataframe(df, out, partition_by=["bucket"], salt_key="id",
+                     num_pids=20, salt=1)
+    manifest = ChunkStore(out).manifest_table()
+    all_files = set(manifest.column("chunk_file").to_pylist())
+    pruned = prune_files(manifest, [("id", "<", 3000)])
+    assert len(pruned) < len(all_files)          # pruning really happened
+    got = decode_store(spark, out, filters=[("id", "<", 3000)])
+    assert got.count() == 3000
+    assert got.agg(F.max("id")).collect()[0][0] == 2999
+    # string zone maps too
+    assert sorted(prune_files(manifest, [("id", ">=", 19000)])) \
+        != sorted(pruned)
+
+
+def test_owrc_reader_filter_pushdown(spark, tmp_path):
+    """format('owrc') scans prune chunk files from pushed comparison
+    filters while Spark still applies the exact predicate."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    out = str(tmp_path / "store")
+    df = (spark.range(0, 10000)
+          .select(F.col("id"),
+                  (F.col("id") / 1000).cast("long").alias("bucket")))
+    encode_dataframe(df, out, partition_by=["bucket"], salt_key="id",
+                     num_pids=10, salt=1)
+    spark.dataSource.register(OwrcDataSource)
+    scan = spark.read.format("owrc").load(out).filter("id >= 9000")
+    assert scan.count() == 1000
+    assert scan.agg(F.min("id")).collect()[0][0] == 9000
