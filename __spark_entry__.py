@@ -486,6 +486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_profile"] = lambda s, d: text.text_profile(
         _read(s, d, "documents"))
 
+    # composed curation pipeline: quality/lang gate -> exact dedup ->
+    # MinHash near-dup removal, all in one plan (every stage individually
+    # oracle-proven; this checks the composition)
+    q["corpus_curation"] = lambda s, d: dedup.curate_corpus(
+        _read(s, d, "documents"), min_quality=0.5,
+        langs=("en", "de", "fr", "es"), near_dup_threshold=0.6)
+
     # ---------------- similarity search
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _read(s, d, "embeddings"),
@@ -889,6 +896,13 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN ({mk['es']}) > 0 AND ({mk['es']}) >= ({mk['en']}) AND "
         f"({mk['es']}) >= ({mk['de']}) AND ({mk['es']}) >= ({mk['fr']}) "
         "THEN 'es' ELSE 'und' END")
+    quality_expr = (
+        "floor(((CASE WHEN length(text) < 100 THEN length(text) / 100.0 "
+        "WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) + "
+        f"(CASE WHEN length(text) * 1.0 / greatest({ws_tokens}, 1) "
+        "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) + "
+        f"(CASE WHEN {punct_ratio} > 0.1 THEN 0.3 ELSE 1.0 END)) / 3.0 "
+        "* 1000000) / 1000000")
     sql["text_profile"] = (
         "SELECT doc_id, length(text) AS n_chars, "
         f"CAST({ws_tokens} AS INT) AS n_tokens_ws, "
@@ -896,12 +910,7 @@ def oracle_sql() -> dict[str, str]:
         f"{punct_ratio} AS punct_ratio, "
         f"floor(({stop}) * 1.0 / greatest({ws_tokens}, 1) * 1000000) / 1000000"
         " AS stopword_ratio, "
-        "floor(((CASE WHEN length(text) < 100 THEN length(text) / 100.0 "
-        "WHEN length(text) > 20000 THEN 0.5 ELSE 1.0 END) + "
-        f"(CASE WHEN length(text) * 1.0 / greatest({ws_tokens}, 1) "
-        "BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END) + "
-        f"(CASE WHEN {punct_ratio} > 0.1 THEN 0.3 ELSE 1.0 END)) / 3.0 "
-        "* 1000000) / 1000000 AS quality, "
+        f"{quality_expr} AS quality, "
         f"{lang_case} AS lang_pred, "
         r"md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp "
         "FROM documents")
@@ -1003,6 +1012,21 @@ def oracle_sql() -> dict[str, str]:
         "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a "
         "JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k GROUP BY 1, 2) "
         "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.6")
+
+    # composition: the minhash-losers subquery is the exact
+    # dedup_minhash_lsh statement, nested
+    sql["corpus_curation"] = (
+        "WITH prof AS (SELECT doc_id, text, "
+        f"{quality_expr} AS quality, {lang_case} AS lang_pred "
+        "FROM documents), "
+        "gated AS (SELECT * FROM prof WHERE quality >= 0.5 "
+        "AND lang_pred IN ('en', 'de', 'fr', 'es')), "
+        "uniq AS (SELECT doc_id, quality, lang_pred, ROW_NUMBER() OVER "
+        "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated), "
+        "losers AS (SELECT DISTINCT id_b FROM "
+        f"({sql['dedup_minhash_lsh']})) "
+        "SELECT doc_id, quality, lang_pred FROM uniq WHERE rn = 1 "
+        "AND doc_id NOT IN (SELECT id_b FROM losers)")
 
     # capture-pipeline oracles: DuckDB reads the golden parquets written by
     # the independent scalar reference-style parser / the wide fixture —

@@ -387,3 +387,39 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     return src.mapInArrow(task, "id long, fp long")
+
+
+# --------------------------------------------------------- corpus curation
+
+def curate_corpus(df: DataFrame, min_quality: float = 0.5,
+                  langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+                  near_dup_threshold: float = 0.6,
+                  text_col: str = "text", id_col: str = "doc_id"
+                  ) -> DataFrame:
+    """The composed training-data curation pipeline, one DataFrame plan:
+
+      quality/lang gate  ->  exact-dup removal (keep min id)  ->
+      MinHash near-dup removal (drop the higher id of each pair)
+
+    Everything stays JVM-side / whole-batch: the gate is Catalyst
+    expressions (text.py), exact dedup a window over md5, near-dup the
+    oracle-checked mod-p MinHash LSH. Returns the surviving docs with
+    their quality and predicted language. Deterministic survivor rule
+    (lower id wins every tie) so the result is SQL-reproducible.
+    """
+    from omi_cpp_parquet_wide_record_spark.operators.text import (
+        lang_id, quality_score,
+    )
+    t = F.col(text_col)
+    gated = (df.withColumn("quality", quality_score(t))
+               .withColumn("lang_pred", lang_id(t))
+               .filter((F.col("quality") >= min_quality)
+                       & F.col("lang_pred").isin(*langs)))
+    w = Window.partitionBy(F.md5(t)).orderBy(F.col(id_col))
+    uniq = (gated.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+    losers = (minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
+                                threshold=near_dup_threshold)
+              .select(F.col("id_b").alias(id_col)).distinct())
+    return (uniq.join(losers, id_col, "left_anti")
+            .select(id_col, "quality", "lang_pred"))

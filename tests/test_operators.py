@@ -466,3 +466,16 @@ def test_owrc_datasource_write_path(spark, tmp_path):
     corpus.limit(300).write.format("owrc").mode("overwrite").save(out)
     assert spark.read.format("owrc").load(out).count() == 300
     corpus.unpersist()
+
+
+def test_corpus_curation(spark, docs):
+    """The composed curation plan: exact dups collapse to min id, near dups
+    drop the higher id, the gate keeps scored docs."""
+    out = dedup.curate_corpus(docs, min_quality=0.2,
+                              langs=("en", "de"), near_dup_threshold=0.8)
+    kept = {r.doc_id for r in out.collect()}
+    assert 0 in kept          # canonical copy survives
+    assert 1 not in kept      # exact dup of 0 (higher id) dropped
+    assert 5 not in kept      # near dup of 0 (higher id) dropped
+    assert 3 in kept          # German doc passes the lang gate
+    assert 4 not in kept      # no marker words -> lang 'und' -> gated out
