@@ -206,6 +206,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"event_id": "plain", "value": "plain", "props": "plain"}, "plain")
 
     # ---------------- reference operators O2-O14 over the driver tables
+    def _pruned_scan(s, d):
+        """O13 with real I/O pruning: decode only 2 of 5 columns (footer
+        seeks read just those byte ranges) plus a zone-map filter that
+        skips whole chunk files before any decode happens."""
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            decode_store,
+        )
+        _roundtrip(s, d, "documents",
+                   ["doc_id", "text", "lang", "source", "n_chars"], {},
+                   "auto")
+        key = hashlib.sha256(
+            f"{d}|documents|['doc_id', 'text', 'lang', 'source', 'n_chars']"
+            f"|[]|auto|v4".encode()).hexdigest()[:16]
+        return decode_store(s, os.path.join(_STORE_ROOT, key),
+                            columns=["doc_id", "lang"],
+                            filters=[("doc_id", "<", 200)])
+    q["pruned_filtered_scan"] = _pruned_scan
+
     q["o2_protocol_filter"] = lambda s, d: etl.protocol_filter(
         _read(s, d, "events"), "event_type", "click"
     ).select("event_id", "user_id", "value")
@@ -643,6 +661,9 @@ def oracle_sql() -> dict[str, str]:
     sql["codec_bitpack_roundtrip"] = "SELECT event_id, user_id FROM events"
     sql["codec_for_roundtrip"] = "SELECT o_orderkey, o_custkey FROM orders"
     sql["codec_plain_roundtrip"] = "SELECT event_id, value, props FROM events"
+
+    sql["pruned_filtered_scan"] = (
+        "SELECT doc_id, lang FROM documents WHERE doc_id < 200")
 
     sql["o2_protocol_filter"] = (
         "SELECT event_id, user_id, value FROM events "

@@ -117,6 +117,7 @@ def main() -> int:
         "dedup_simhash", "text_profile", "ann_cosine_topk",
         "ann_lsh_candidates", "streaming_tumbling_counts",
         "codec_fsst_roundtrip", "codec_delta_roundtrip",
+        "pcap_parse", "corpus_curation", "ann_ivf_topk",
     ]
     for name in bench_queries:
         t0 = time.time()
