@@ -97,8 +97,13 @@ def prune_files(manifest: pa.Table,
                 _json.loads(smin), _json.loads(smax))
     for (f, col), (lo, hi) in stats.items():
         for fc, op, v in filters:
-            if fc == col and op in _PRUNE_OPS \
-                    and not _PRUNE_OPS[op](lo, hi, v):
+            if fc != col or op not in _PRUNE_OPS:
+                continue
+            try:
+                satisfiable = _PRUNE_OPS[op](lo, hi, v)
+            except TypeError:
+                continue   # type-mismatched filter: never prune on it
+            if not satisfiable:
                 keep[f] = False
     return sorted(f for f, k in keep.items() if k)
 

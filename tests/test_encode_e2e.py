@@ -211,3 +211,22 @@ def test_owrc_reader_filter_pushdown(spark, tmp_path):
     scan = spark.read.format("owrc").load(out).filter("id >= 9000")
     assert scan.count() == 1000
     assert scan.agg(F.min("id")).collect()[0][0] == 9000
+
+
+def test_zone_map_prune_everything_and_type_mismatch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    out = str(tmp_path / "store")
+    df = spark.range(0, 3000).select(F.col("id"),
+                                     F.lit("x").alias("s"))
+    encode_dataframe(df, out, salt_key="id", num_pids=3)
+    # a filter nothing satisfies prunes every chunk -> empty result
+    assert decode_store(spark, out, filters=[("id", ">", 10**9)]).count() == 0
+    # type-mismatched filter value never prunes (conservative), and the
+    # residual exact filter still errors upstream in Spark? no — it is a
+    # valid comparison for Spark (casts), so rows just pass through
+    got = decode_store(spark, out, filters=[("id", ">=", 0)])
+    assert got.count() == 3000
