@@ -511,6 +511,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), min_quality=0.5,
         langs=("en", "de", "fr", "es"), near_dup_threshold=0.6)
 
+    # corpus vocabulary stats: top tokens by document frequency (the
+    # training-data "heavy hitters" — exact, scale via one groupBy)
+    def _vocab(s, d):
+        from pyspark.sql import Window
+        w = Window.orderBy(F.col("df").desc(), F.col("token"))
+        return (_read(s, d, "documents")
+                .select(F.explode(F.array_distinct(F.split("text", " ")))
+                        .alias("token"))
+                .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 50))
+    q["vocab_top_tokens"] = _vocab
+
+    q["doc_length_histogram"] = lambda s, d: (
+        _read(s, d, "documents")
+        .groupBy((F.floor(F.col("n_chars") / 100) * 100).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+              .alias("total_chars")))
+
     # ---------------- similarity search
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
         _read(s, d, "embeddings"),
@@ -935,6 +955,19 @@ def oracle_sql() -> dict[str, str]:
         f"{lang_case} AS lang_pred, "
         r"md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp "
         "FROM documents")
+
+    sql["vocab_top_tokens"] = (
+        "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))"
+        " AS token FROM documents), "
+        "df AS (SELECT token, count(*) AS df FROM tok GROUP BY token), "
+        "r AS (SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token)"
+        " AS rk FROM df) "
+        "SELECT token, df, CAST(rk AS INT) AS rk FROM r WHERE rk <= 50")
+
+    sql["doc_length_histogram"] = (
+        "SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n, "
+        "CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS total_chars "
+        "FROM documents GROUP BY 1")
 
     cos = ("list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /"
            " (sqrt(list_dot_product(q.embedding::DOUBLE[], "
