@@ -131,6 +131,11 @@ def decode_store(spark: SparkSession, out_dir: str,
     schema = store.arrow_schema(snap)
     if columns is not None:
         schema = pa.schema([schema.field(c) for c in columns])
+    # the merged view is nullable: add-column evolution null-fills rows
+    # from chunks committed before a column existed (Spark reads nullable
+    # regardless)
+    schema = pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in schema])
     manifest = store.manifest_table(snap)
     if filters:
         files = prune_files(manifest, filters)
@@ -153,6 +158,13 @@ def decode_store(spark: SparkSession, out_dir: str,
                 t = read_chunk_file(os.path.join(chunks_dir, fname),
                                     columns=list(schema.names),
                                     check_sha=check_sha)
+                # schema evolution (add-column): chunks committed before a
+                # column existed decode as nulls for it — Iceberg's
+                # read-time null-fill for added fields
+                for f in schema:
+                    if f.name not in t.schema.names:
+                        t = t.append_column(
+                            f.name, pa.nulls(t.num_rows, type=f.type))
                 t = t.select(schema.names).cast(schema)
                 yield from t.to_batches()
 

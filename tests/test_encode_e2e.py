@@ -146,8 +146,9 @@ def test_snapshot_time_travel(spark, tmp_path):
     corpus = FX.web_pages_df(spark, 2000, partitions=2).persist()
     first = corpus.limit(800)
     encode_dataframe(first, out, salt_key="url", num_pids=4)
-    # second commit adds the rest (resume skips nothing: new pids)
-    encode_dataframe(corpus, out, salt_key="url", num_pids=16)
+    # second commit appends more data as a fresh run
+    encode_dataframe(corpus.subtract(first), out, salt_key="url",
+                     num_pids=16, resume=False)
     store = ChunkStore(out)
     hist = store.snapshots()
     assert [s["n"] for s in hist] == [0, 1]
@@ -230,3 +231,31 @@ def test_zone_map_prune_everything_and_type_mismatch(spark, tmp_path):
     # valid comparison for Spark (casts), so rows just pass through
     got = decode_store(spark, out, filters=[("id", ">=", 0)])
     assert got.count() == 3000
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style add-column evolution: chunks committed before the
+    column existed decode as nulls; the live snapshot's schema wins."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    out = str(tmp_path / "store")
+    old = spark.range(0, 400).select(F.col("id"),
+                                     (F.col("id") * 2).alias("a"))
+    encode_dataframe(old, out, salt_key="id", num_pids=4)
+    new = spark.range(400, 700).select(
+        F.col("id"), (F.col("id") * 2).alias("a"),
+        F.concat(F.lit("v"), F.col("id")).alias("b"))
+    # an append of NEW data is a fresh run, not a resume (the pid
+    # anti-filter is for re-running the SAME input)
+    encode_dataframe(new, out, salt_key="id", num_pids=16, resume=False)
+    got = decode_store(spark, out)
+    assert set(got.columns) == {"id", "a", "b"}
+    assert got.count() == 700
+    assert got.filter(F.col("b").isNull()).count() == 400   # old rows
+    assert got.filter("id = 500").collect()[0].b == "v500"
+    # time travel still returns the OLD schema for the old snapshot
+    past = decode_store(spark, out, snapshot=0)
+    assert set(past.columns) == {"id", "a"} and past.count() == 400
