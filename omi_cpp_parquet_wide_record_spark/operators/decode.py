@@ -169,6 +169,17 @@ def decode_store(spark: SparkSession, out_dir: str,
                 yield from t.to_batches()
 
     out = files_df.mapInArrow(task, spark_schema)
+    # merge-on-read deletes: anti-join each delete file's keys (the
+    # Iceberg equality-delete read path); delete keys are small relative
+    # to data, so these broadcast
+    from pyspark.sql import functions as F
+    for d in store.delete_files(snap):
+        if d["key"] not in out.columns:
+            continue
+        keys = spark.read.parquet(
+            os.path.join(store.deletes_dir, d["file"]))
+        out = out.join(F.broadcast(keys.select(d["key"]).distinct()),
+                       d["key"], "left_anti")
     if filters:
         # exact residual filter over the surviving chunks (pruning is
         # conservative at chunk granularity, this makes it precise)

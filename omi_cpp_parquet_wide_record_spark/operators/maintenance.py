@@ -1,0 +1,47 @@
+"""Table maintenance: row-level deletes (merge-on-read) and compaction.
+
+The Iceberg maintenance surface for the chunk store: `delete_rows` commits
+an equality-delete file (data chunks untouched; readers anti-join the keys),
+and `compact_store` materializes deletes + rewrites the store into
+right-sized chunks under a fresh snapshot lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+
+
+def delete_rows(store_dir: str, keys: DataFrame, key_col: str,
+                run_id: str | None = None) -> dict:
+    """Merge-on-read delete: commit the key values as a delete file.
+
+    `keys` is a (small) DataFrame holding the key column; only metadata
+    plus the key list touch the driver. O(1) in data size — no chunk is
+    rewritten; decode anti-joins the keys until compaction materializes
+    them.
+    """
+    import uuid
+    tbl = keys.select(key_col).distinct().toArrow()
+    return ChunkStore(store_dir).commit_deletes(
+        tbl, key_col, run_id or uuid.uuid4().hex)
+
+
+def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
+                  salt_key: str | None = None,
+                  num_pids: int | None = None) -> dict:
+    """Materialize deletes and rewrite the table into right-sized chunks
+    (Iceberg's rewrite_data_files): decode the live snapshot (deletes
+    applied) and encode it into a fresh store. The old store stays intact
+    for time travel until the caller swaps/GCs it."""
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    live = decode_store(spark, store_dir)
+    res = encode_dataframe(live, out_dir,
+                           salt_key=salt_key or live.columns[0],
+                           num_pids=num_pids, resume=False)
+    return {"rows": res.rows, "bytes_out": res.bytes_out,
+            "chunks": ChunkStore(out_dir).metrics()["chunks"]}

@@ -61,10 +61,12 @@ class ChunkStore:
         self.chunks_dir = os.path.join(root, "chunks")
         self.manifests_dir = os.path.join(root, "manifests")
         self.snapshots_dir = os.path.join(root, "snapshots")
+        self.deletes_dir = os.path.join(root, "deletes")
         self.current_path = os.path.join(root, "_current")
 
     def create(self) -> "ChunkStore":
-        for d in (self.chunks_dir, self.manifests_dir, self.snapshots_dir):
+        for d in (self.chunks_dir, self.manifests_dir, self.snapshots_dir,
+                  self.deletes_dir):
             os.makedirs(d, exist_ok=True)
         return self
 
@@ -156,6 +158,7 @@ class ChunkStore:
             "run_id": run_id,
             "manifests": (parent["manifests"] if parent else []) + [mname],
             "committed_pids": sorted(committed),
+            "delete_files": self.delete_files(parent) if parent else [],
             "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),
             "stats": stats or {},
         }
@@ -166,6 +169,46 @@ class ChunkStore:
         with open(tmp, "w") as f:
             f.write(sname)
         os.replace(tmp, self.current_path)   # atomic pointer flip
+        return snap
+
+    # ----------------------------------------------------------- deletes
+
+    def delete_files(self, snapshot: dict | None = None) -> list[dict]:
+        """Live (or given) snapshot's delete files:
+        [{"file": name, "key": key_col}, ...]."""
+        snap = snapshot or self.current_snapshot()
+        return list((snap or {}).get("delete_files", []))
+
+    def commit_deletes(self, keys: pa.Table, key_col: str,
+                       run_id: str) -> dict:
+        """Merge-on-read row deletes (Iceberg equality-delete files): write
+        the key values as a delete file and commit a snapshot that carries
+        it; readers anti-join the keys at decode time. Data chunks are
+        untouched — compaction can materialize the deletes later."""
+        self.create()
+        parent = self.current_snapshot()
+        if parent is None:
+            raise FileNotFoundError("cannot delete from an empty store")
+        n = parent["n"] + 1
+        dname = f"delete-{n:05d}-{uuid.uuid4().hex[:8]}.parquet"
+        pq.write_table(keys, os.path.join(self.deletes_dir, dname))
+        snap = dict(parent)
+        snap.update({
+            "n": n,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": parent["snapshot_id"],
+            "created_ms": int(time.time() * 1000),
+            "run_id": run_id,
+            "delete_files": self.delete_files(parent)
+            + [{"file": dname, "key": key_col}],
+        })
+        sname = f"snapshot-{n:05d}.json"
+        with open(os.path.join(self.snapshots_dir, sname), "w") as f:
+            json.dump(snap, f)
+        tmp = self.current_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(sname)
+        os.replace(tmp, self.current_path)
         return snap
 
     # ------------------------------------------------------------ stats

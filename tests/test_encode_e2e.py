@@ -259,3 +259,42 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # time travel still returns the OLD schema for the old snapshot
     past = decode_store(spark, out, snapshot=0)
     assert set(past.columns) == {"id", "a"} and past.count() == 400
+
+
+def test_merge_on_read_deletes_and_compaction(spark, tmp_path):
+    """Row-level deletes: an equality-delete file commits in O(1) (no chunk
+    rewritten); readers anti-join the keys; time travel still sees the
+    pre-delete table; compaction materializes the deletes."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        compact_store, delete_rows,
+    )
+    out = str(tmp_path / "store")
+    df = spark.range(0, 1000).select(F.col("id"),
+                                     (F.col("id") % 7).alias("v"))
+    encode_dataframe(df, out, salt_key="id", num_pids=4)
+    delete_rows(out, spark.range(0, 100).select("id"), "id")
+    live = decode_store(spark, out)
+    assert live.count() == 900
+    assert live.agg(F.min("id")).collect()[0][0] == 100
+    # second delete stacks on the first
+    delete_rows(out, spark.range(500, 600).select("id"), "id")
+    assert decode_store(spark, out).count() == 800
+    # time travel to the pre-delete snapshot
+    assert decode_store(spark, out, snapshot=0).count() == 1000
+    # appending data does not lose the deletes
+    encode_dataframe(spark.range(1000, 1100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")), out,
+        salt_key="id", num_pids=4, resume=False)
+    assert decode_store(spark, out).count() == 900
+    # compaction materializes: new store has the rows, no delete files
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    out2 = str(tmp_path / "compacted")
+    rep = compact_store(spark, out, out2, salt_key="id", num_pids=4)
+    assert rep["rows"] == 900
+    assert ChunkStore(out2).delete_files() == []
+    assert decode_store(spark, out2).count() == 900
