@@ -298,3 +298,43 @@ def test_merge_on_read_deletes_and_compaction(spark, tmp_path):
     assert rep["rows"] == 900
     assert ChunkStore(out2).delete_files() == []
     assert decode_store(spark, out2).count() == 900
+
+
+def test_sql_over_store_and_corruption_detection(spark, tmp_path):
+    """Plain Spark SQL over the store via the owrc view, and the two
+    corruption error paths: bad magic and sha mismatch."""
+    import glob
+    import os
+    import pytest
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        read_chunk_file,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    out = str(tmp_path / "store")
+    df = spark.range(0, 2000).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    encode_dataframe(df, out, salt_key="id", num_pids=4)
+    spark.dataSource.register(OwrcDataSource)
+    spark.read.format("owrc").load(out).createOrReplaceTempView("store_v")
+    row = spark.sql(
+        "SELECT v, count(*) AS n FROM store_v WHERE id < 1000 "
+        "GROUP BY v ORDER BY v").collect()
+    assert sum(r.n for r in row) == 1000 and len(row) == 5
+
+    chunk = glob.glob(os.path.join(out, "chunks", "*.owrc"))[0]
+    data = bytearray(open(chunk, "rb").read())
+    # flip a payload byte: sha check must catch it
+    data[0] ^= 0xFF
+    bad = str(tmp_path / "bad.owrc")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        read_chunk_file(bad, check_sha=True)
+    # truncate the magic: framing must refuse
+    open(bad, "wb").write(bytes(data)[:-3])
+    with pytest.raises(ValueError, match="bad chunk magic"):
+        read_chunk_file(bad)
