@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Store maintenance CLI: snapshot history, GC, row deletes, compaction.
+
+    python jobs/maintain.py --store /data/store history
+    python jobs/maintain.py --store /data/store gc --keep-last 2
+    python jobs/maintain.py --store /data/store delete --key doc_id \
+        --values 7 11 42
+    python jobs/maintain.py --store /data/store compact --output /data/new
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("history")
+    g = sub.add_parser("gc")
+    g.add_argument("--keep-last", type=int, default=1)
+    d = sub.add_parser("delete")
+    d.add_argument("--key", required=True)
+    d.add_argument("--values", nargs="+", required=True, type=int)
+    c = sub.add_parser("compact")
+    c.add_argument("--output", required=True)
+    c.add_argument("--salt-key", default=None)
+    args = ap.parse_args()
+
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    store = ChunkStore(args.store)
+
+    if args.cmd == "history":
+        hist = [{"n": s["n"], "run_id": s["run_id"],
+                 "created_ms": s.get("created_ms"),
+                 "manifests": len(s.get("manifests", [])),
+                 "deletes": len(s.get("delete_files", []))}
+                for s in store.snapshots()]
+        print(json.dumps({"snapshots": hist, "metrics": store.metrics()}))
+        return 0
+
+    if args.cmd == "gc":
+        from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+        print(json.dumps(expire_snapshots(store, keep_last=args.keep_last)))
+        return 0
+
+    from omi_cpp_parquet_wide_record_spark.session import get_spark
+    spark = get_spark("owr-maintain", cores=args.cores)
+
+    if args.cmd == "delete":
+        from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+            delete_rows,
+        )
+        keys = spark.createDataFrame([(v,) for v in args.values],
+                                     f"{args.key} long")
+        snap = delete_rows(args.store, keys, args.key)
+        print(json.dumps({"snapshot": snap["n"],
+                          "delete_files": len(snap["delete_files"])}))
+        return 0
+
+    if args.cmd == "compact":
+        from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+            compact_store,
+        )
+        print(json.dumps(compact_store(spark, args.store, args.output,
+                                       salt_key=args.salt_key)))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -167,7 +167,12 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
     capture files; each decodes independently). The emitted pcap_index is
     per-file, like the reference's per-run counter.
     """
-    files = spark.read.format("binaryFile").load(path).select("content")
+    import os
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        reader = reader.option("recursiveFileLookup", "true") \
+                       .option("pathGlobFilter", "*.pcap")
+    files = reader.load(path).select("content")
 
     def task(batches):
         for b in batches:
@@ -179,3 +184,61 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
 
     return files.mapInArrow(
         task, "pcap_index long, pcap_sec long, pcap_usec long, payload binary")
+
+
+# ------------------------------------------------ registered Spark format
+
+def _list_captures(path: str) -> list[str]:
+    import glob
+    import os
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "**", "*.pcap"),
+                                recursive=True))
+    return sorted(glob.glob(path))
+
+
+try:
+    from pyspark.sql.datasource import (
+        DataSource, DataSourceReader, InputPartition,
+    )
+
+    class _PcapPartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _PcapReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("pcap source needs a path")
+
+        def partitions(self):
+            files = _list_captures(self.path)
+            if not files:
+                raise FileNotFoundError(f"no .pcap files under {self.path}")
+            return [_PcapPartition(f) for f in files]
+
+        def read(self, partition: _PcapPartition):
+            with open(partition.path, "rb") as f:
+                batch = packets_from_capture(f.read())
+            if batch.num_rows:
+                yield batch
+
+    class PcapDataSource(DataSource):
+        """spark.read.format("pcap").load(path): one task per capture file
+        (local/shared filesystem paths; use read_pcap() + binaryFile for
+        object stores). Register with
+        spark.dataSource.register(PcapDataSource)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pcap"
+
+        def schema(self):
+            return ("pcap_index long, pcap_sec long, pcap_usec long, "
+                    "payload binary")
+
+        def reader(self, schema):
+            return _PcapReader(self.options)
+except ImportError:       # pragma: no cover - older pyspark without the API
+    PcapDataSource = None

@@ -115,3 +115,20 @@ def test_u32_full_range_survives_unwrapped():
     assert pc.min(wide.column("shares")).as_py() >= 0
     assert wide.column("shares").combine_chunks().equals(
         golden.column("shares").combine_chunks())
+
+
+def test_pcap_datasource_format(spark, tmp_path):
+    """spark.read.format('pcap') — the capture format as a first-class
+    registered source, matching read_pcap's output exactly."""
+    from omi_cpp_parquet_wide_record_spark.sources.pcap import PcapDataSource
+    a = FX.pcap_capture(300, "nasdaq", seed=5)
+    b = FX.pcap_capture(200, "nasdaq", seed=6)
+    (tmp_path / "a.pcap").write_bytes(a)
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.pcap").write_bytes(b)
+    spark.dataSource.register(PcapDataSource)
+    df = spark.read.format("pcap").load(str(tmp_path))
+    via_fn = read_pcap(spark, str(tmp_path))
+    assert df.count() == via_fn.count()
+    wide = parse_packets(df, "nasdaq")
+    assert wide.count() == 500
