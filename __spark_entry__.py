@@ -36,6 +36,16 @@ TRUNC6 = "floor({} * 1000000) / 1000000"
 _STORE_ROOT = "/tmp/owr_entry_stores"
 
 
+def _store_path(sf_dir: str, table: str, cols: list[str],
+                overrides: dict[str, str], variant: str) -> str:
+    """Cache path of a _roundtrip chunk store — the single place the cache
+    key is derived (callers must never reconstruct the hash by hand)."""
+    key = hashlib.sha256(
+        f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}|v4"
+        .encode()).hexdigest()[:16]
+    return os.path.join(_STORE_ROOT, key)
+
+
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
                cols: list[str], overrides: dict[str, str],
                variant: str, ts_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -52,10 +62,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     import pyarrow.parquet as _pq
     n_src = _pq.ParquetFile(
         os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
-    key = hashlib.sha256(
-        f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}|v4"
-        .encode()).hexdigest()[:16]
-    out = os.path.join(_STORE_ROOT, key)
+    out = _store_path(sf_dir, table, cols, overrides, variant)
     ok = False
     if os.path.exists(os.path.join(out, "_current")):
         try:
@@ -213,13 +220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from omi_cpp_parquet_wide_record_spark.operators.decode import (
             decode_store,
         )
-        _roundtrip(s, d, "documents",
-                   ["doc_id", "text", "lang", "source", "n_chars"], {},
-                   "auto")
-        key = hashlib.sha256(
-            f"{d}|documents|['doc_id', 'text', 'lang', 'source', 'n_chars']"
-            f"|[]|auto|v4".encode()).hexdigest()[:16]
-        return decode_store(s, os.path.join(_STORE_ROOT, key),
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        _roundtrip(s, d, "documents", cols, {}, "auto")
+        return decode_store(s, _store_path(d, "documents", cols, {}, "auto"),
                             columns=["doc_id", "lang"],
                             filters=[("doc_id", "<", 200)])
     q["pruned_filtered_scan"] = _pruned_scan
@@ -515,13 +518,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # training-data "heavy hitters" — exact, scale via one groupBy)
     def _vocab(s, d):
         from pyspark.sql import Window
+        # orderBy().limit(50) keeps the top-k a distributed sort-limit; the
+        # unpartitioned row_number window (which would funnel the whole
+        # token-frequency table through one task) only ranks the 50 winners
         w = Window.orderBy(F.col("df").desc(), F.col("token"))
         return (_read(s, d, "documents")
                 .select(F.explode(F.array_distinct(F.split("text", " ")))
                         .alias("token"))
                 .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= 50))
+                .orderBy(F.col("df").desc(), F.col("token")).limit(50)
+                .withColumn("rk", F.row_number().over(w)))
     q["vocab_top_tokens"] = _vocab
 
     q["doc_length_histogram"] = lambda s, d: (
@@ -1068,7 +1074,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.6")
 
     # composition: the minhash-losers subquery is the exact
-    # dedup_minhash_lsh statement, nested
+    # dedup_minhash_lsh statement, nested — but running over the GATED
+    # docs (matching curate_corpus: a survivor must not be dropped because
+    # its only near-dup was already gate-rejected)
+    _minhash_on_gated = sql["dedup_minhash_lsh"].replace(
+        "d0 AS (SELECT doc_id, text FROM documents "
+        "WHERE length(text) >= 5)",
+        "d0 AS (SELECT doc_id, text FROM gated WHERE length(text) >= 5)")
     sql["corpus_curation"] = (
         "WITH prof AS (SELECT doc_id, text, "
         f"{quality_expr} AS quality, {lang_case} AS lang_pred "
@@ -1078,7 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "uniq AS (SELECT doc_id, quality, lang_pred, ROW_NUMBER() OVER "
         "(PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM gated), "
         "losers AS (SELECT DISTINCT id_b FROM "
-        f"({sql['dedup_minhash_lsh']})) "
+        f"({_minhash_on_gated})) "
         "SELECT doc_id, quality, lang_pred FROM uniq WHERE rn = 1 "
         "AND doc_id NOT IN (SELECT id_b FROM losers)")
 

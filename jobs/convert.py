@@ -64,8 +64,12 @@ def main() -> int:
     else:
         ap.error("need --pcap, --packets, or --synthetic-rows")
 
+    # row_key must be unique ACROSS capture files too (pcap_index restarts
+    # at 1 per file), so fold in the message's full identity
     wide = parse_packets(pkts, args.which).withColumn(
-        "row_key", F.col("pcap_index") * 1_000_000 + F.col("message_index"))
+        "row_key", F.xxhash64("pcap_index", "message_index",
+                              "pcap_timestamp", "message_sequence",
+                              "session"))
     res = encode_dataframe(wide, args.output,
                            partition_by=["message_type"],
                            salt_key="row_key", num_pids=args.num_pids)

@@ -530,10 +530,13 @@ def reference_parse_pcap(data: bytes, which: str = "nasdaq") -> pa.Table:
         frame = data[pos + 16:pos + 16 + incl]
         pos += 16 + incl
         pcap_index += 1                       # bumps for EVERY frame, NQ:3403
-        # ethernet + VLAN stepping (NQ:3410-3412)
+        # ethernet + VLAN stepping (NQ:3410-3412), bounded at 8 stacked
+        # tags to mirror the vectorized path's defensive cap exactly
         et = 12
-        while frame[et] << 8 | frame[et + 1] == 0x8100:
+        hops = 0
+        while frame[et] << 8 | frame[et + 1] == 0x8100 and hops < 8:
             et += 4
+            hops += 1
         if frame[et] << 8 | frame[et + 1] != 0x0800:
             continue
         ip = et + 2

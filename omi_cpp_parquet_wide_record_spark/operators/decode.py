@@ -129,8 +129,15 @@ def decode_store(spark: SparkSession, out_dir: str,
     if snap is None:
         raise FileNotFoundError(f"no snapshot at {out_dir}")
     schema = store.arrow_schema(snap)
+    # merge-on-read deletes must apply regardless of the requested
+    # projection: decode the delete-key columns too, anti-join, and drop
+    # them again before returning
+    delete_keys = [d["key"] for d in store.delete_files(snap)
+                   if d["key"] in schema.names]
     if columns is not None:
-        schema = pa.schema([schema.field(c) for c in columns])
+        decode_cols = list(columns) + [k for k in delete_keys
+                                       if k not in columns]
+        schema = pa.schema([schema.field(c) for c in decode_cols])
     # the merged view is nullable: add-column evolution null-fills rows
     # from chunks committed before a column existed (Spark reads nullable
     # regardless)
@@ -183,9 +190,10 @@ def decode_store(spark: SparkSession, out_dir: str,
     if filters:
         # exact residual filter over the surviving chunks (pruning is
         # conservative at chunk granularity, this makes it precise)
-        from pyspark.sql import functions as F
         for c, op, v in filters:
             col = F.col(c)
             out = out.filter({"<": col < v, "<=": col <= v, ">": col > v,
                               ">=": col >= v, "==": col == v}[op])
+    if columns is not None and list(out.columns) != list(columns):
+        out = out.select(*columns)
     return out

@@ -414,11 +414,14 @@ def curate_corpus(df: DataFrame, min_quality: float = 0.5,
     gated = (df.withColumn("quality", quality_score(t))
                .withColumn("lang_pred", lang_id(t))
                .filter((F.col("quality") >= min_quality)
-                       & F.col("lang_pred").isin(*langs)))
+                       & F.col("lang_pred").isin(*langs))).persist()
     w = Window.partitionBy(F.md5(t)).orderBy(F.col(id_col))
     uniq = (gated.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
-    losers = (minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
+    # near-dups are found among the GATED docs only: a surviving doc must
+    # never be dropped because its sole near-duplicate was already
+    # rejected by the gate (that would lose the content entirely)
+    losers = (minhash_lsh_pairs(gated, text_col=text_col, id_col=id_col,
                                 threshold=near_dup_threshold)
               .select(F.col("id_b").alias(id_col)).distinct())
     return (uniq.join(losers, id_col, "left_anti")

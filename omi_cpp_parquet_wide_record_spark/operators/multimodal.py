@@ -111,17 +111,25 @@ def _decode_batch(media: pa.Array) -> tuple[np.ndarray, np.ndarray,
     np.cumsum(lens, out=starts[1:])
     starts = starts[:-1]
     magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
-    ok = np.ones(len(lens), dtype=bool)
-    ok &= lens >= 11
-    for j in range(7):
-        ok &= corpus[np.minimum(starts + j, len(corpus) - 1)] == magic[j]
+    ok = lens >= 11
+    w = h = np.zeros(len(lens), dtype=np.int64)
+    if len(corpus) and ok.any():
+        hi = len(corpus) - 1
+        for j in range(7):
+            ok &= corpus[np.minimum(starts + j, hi)] == magic[j]
+        w = (corpus[np.minimum(starts + 7, hi)].astype(np.int64)
+             | (corpus[np.minimum(starts + 8, hi)].astype(np.int64) << 8))
+        h = (corpus[np.minimum(starts + 9, hi)].astype(np.int64)
+             | (corpus[np.minimum(starts + 10, hi)].astype(np.int64) << 8))
+        # a truncated body must error like the scalar decoder, not silently
+        # gather the next payload's bytes
+        ok &= lens >= 11 + w * h
+    else:
+        ok = np.zeros(len(lens), dtype=bool)
     if not ok.all():
         bad = int(np.flatnonzero(~ok)[0])
         _decode_payload(bytes(corpus[starts[bad]:starts[bad] + lens[bad]]))
-    w = (corpus[starts + 7].astype(np.int64)
-         | (corpus[starts + 8].astype(np.int64) << 8))
-    h = (corpus[starts + 9].astype(np.int64)
-         | (corpus[starts + 10].astype(np.int64) << 8))
+        raise ValueError("malformed media payload (truncated body)")
     return w, h, starts + 11, corpus
 
 

@@ -139,8 +139,14 @@ class ChunkStore:
     # ------------------------------------------------------------ commit
 
     def commit(self, manifest: pa.Table, schema: pa.Schema,
-               run_id: str, stats: dict | None = None) -> dict:
-        """Append a manifest and flip the snapshot pointer atomically."""
+               run_id: str, stats: dict | None = None,
+               replace: bool = False) -> dict:
+        """Append a manifest and flip the snapshot pointer atomically.
+
+        ``replace=True`` is the Iceberg REPLACE commit: the new snapshot
+        references only this manifest (prior data, deletes, and pids drop
+        out of the live view but stay readable via time travel until GC).
+        """
         import base64
         self.create()
         parent = self.current_snapshot()
@@ -149,16 +155,19 @@ class ChunkStore:
         pq.write_table(manifest.cast(MANIFEST_SCHEMA),
                        os.path.join(self.manifests_dir, mname))
         new_pids = set(manifest.column("pid").to_pylist())
-        committed = (set(parent["committed_pids"]) if parent else set()) | new_pids
+        keep_parent = parent is not None and not replace
+        committed = (set(parent["committed_pids"]) if keep_parent
+                     else set()) | new_pids
         snap = {
             "n": n,
             "snapshot_id": uuid.uuid4().hex,
             "parent_id": parent["snapshot_id"] if parent else None,
             "created_ms": int(time.time() * 1000),
             "run_id": run_id,
-            "manifests": (parent["manifests"] if parent else []) + [mname],
+            "manifests": (parent["manifests"] if keep_parent else [])
+            + [mname],
             "committed_pids": sorted(committed),
-            "delete_files": self.delete_files(parent) if parent else [],
+            "delete_files": self.delete_files(parent) if keep_parent else [],
             "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),
             "stats": stats or {},
         }

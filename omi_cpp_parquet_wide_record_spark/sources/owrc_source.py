@@ -92,7 +92,6 @@ class OwrcCommitMessage(WriterCommitMessage):
 
 class OwrcArrowWriter(DataSourceArrowWriter):
     def __init__(self, schema, options, overwrite: bool):
-        import shutil
         import uuid
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
         self.root = options.get("path")
@@ -102,8 +101,10 @@ class OwrcArrowWriter(DataSourceArrowWriter):
         self.chunk_rows = int(options.get("chunk_rows", 65536))
         self.chunk_bytes = int(options.get("chunk_bytes", 64 << 20))
         self.run_id = uuid.uuid4().hex
-        if overwrite:                      # driver-side, before any task
-            shutil.rmtree(self.root, ignore_errors=True)
+        # overwrite maps to a REPLACE commit at commit() time — the old
+        # table stays intact (and visible) until the atomic pointer flip,
+        # so a failed overwrite job never destroys existing data
+        self.overwrite = overwrite
         ChunkStore(self.root).create()
 
     def write(self, iterator):
@@ -158,7 +159,7 @@ class OwrcArrowWriter(DataSourceArrowWriter):
         cols = {f.name: [r[f.name] for r in rows] for f in MANIFEST_SCHEMA}
         manifest = pa.Table.from_pydict(cols, schema=MANIFEST_SCHEMA)
         ChunkStore(self.root).commit(manifest, to_arrow_schema(self.schema),
-                                     self.run_id)
+                                     self.run_id, replace=self.overwrite)
 
     def abort(self, messages):
         # nothing to undo: the pointer never flipped, so the written chunk
