@@ -71,7 +71,14 @@ def _closing_fn(gap_us: int):
     arrives past the gap, or the event-time timeout fires after the
     watermark passes last_event + gap (state is then evicted). This is the
     pattern that bounds state at 10^12 events: closed sessions leave the
-    state store instead of accumulating."""
+    state store instead of accumulating.
+
+    Known limit (shared with every gap-merge sessionizer that doesn't
+    buffer to the watermark): an event older than the carried session's
+    last timestamp but within the watermark merges into that session
+    rather than re-splitting history — use the batch sessionize or Spark's
+    built-in session_window (which buffers) where exact out-of-order
+    semantics matter."""
     def fn(key, pdfs, state: GroupState):
         import numpy as np
         import pandas as pd
