@@ -527,6 +527,8 @@ def reference_parse_pcap(data: bytes, which: str = "nasdaq") -> pa.Table:
         sec = int.from_bytes(data[pos:pos + 4], endian)
         usec = int.from_bytes(data[pos + 4:pos + 8], endian)
         incl = int.from_bytes(data[pos + 8:pos + 12], endian)
+        if pos + 16 + incl > len(data):
+            break       # truncated tail record — mirror frame_records
         frame = data[pos + 16:pos + 16 + incl]
         pos += 16 + incl
         pcap_index += 1                       # bumps for EVERY frame, NQ:3403

@@ -67,9 +67,11 @@ def frame_records(data: bytes) -> tuple[np.ndarray, np.ndarray,
     secs, usecs, offs, lens = [], [], [], []
     pos = 24
     while pos + 16 <= size:
+        incl = int.from_bytes(mv[pos + 8:pos + 12], endian)
+        if pos + 16 + incl > size:
+            break       # truncated tail record (killed capture) — drop it
         secs.append(int.from_bytes(mv[pos:pos + 4], endian))
         usecs.append(int.from_bytes(mv[pos + 4:pos + 8], endian))
-        incl = int.from_bytes(mv[pos + 8:pos + 12], endian)
         offs.append(pos + 16)
         lens.append(incl)
         pos += 16 + incl

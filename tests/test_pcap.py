@@ -132,3 +132,20 @@ def test_pcap_datasource_format(spark, tmp_path):
     assert df.count() == via_fn.count()
     wide = parse_packets(df, "nasdaq")
     assert wide.count() == 500
+
+
+def test_truncated_capture_tail():
+    """A capture cut off mid-record (killed tcpdump) must decode every
+    complete frame and drop the torn tail — identically in the vectorized
+    and scalar reference paths."""
+    data = FX.pcap_capture(200, "nasdaq")
+    full = packets_from_capture(data)
+    torn = data[:len(data) - 7]            # cut inside the last record
+    part = packets_from_capture(torn)
+    assert 0 < part.num_rows <= full.num_rows
+    golden = FX.reference_parse_pcap(torn, "nasdaq")
+    wide = pa.Table.from_batches([parse_packets_batch(part, "nasdaq")])
+    assert wide.num_rows == golden.num_rows
+    for name in ("pcap_index", "message_sequence", "stock", "price"):
+        assert arrays_equal(wide.column(name).combine_chunks(),
+                            golden.column(name).combine_chunks()), name
