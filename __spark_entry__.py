@@ -414,7 +414,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.size(F.split("text", " ")).alias("n_words"),
             F.array_join(F.sort_array(F.slice(F.split("text", " "), 1, 4)),
                          "|").alias("first4_sorted"),
-            F.array_contains(F.split("text", " "), "the").alias("has_the"),
+            # int, not bool: the driver's value normalization is only
+            # proven for numerics/strings (sessionize's HUGEINT lesson)
+            F.array_contains(F.split("text", " "), "the").cast("int")
+             .alias("has_the"),
             F.size(F.array_distinct(F.split("text", " ")))
              .alias("n_distinct_words"),
             F.element_at(F.split("text", " "), -1).alias("last_word"),
@@ -828,7 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents) "
         "SELECT doc_id, len(a) AS n_words, "
         "array_to_string(list_sort(a[1:4]), '|') AS first4_sorted, "
-        "list_contains(a, 'the') AS has_the, "
+        "CAST(list_contains(a, 'the') AS INT) AS has_the, "
         "len(list_distinct(a)) AS n_distinct_words, "
         "a[-1] AS last_word, "
         "CAST(list_sum(list_transform(a, x -> length(x))) AS INT) "
