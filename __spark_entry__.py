@@ -620,13 +620,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _metrics(s, d):
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
-        _roundtrip(s, d, "documents",
-                   ["doc_id", "text", "lang", "source", "n_chars"], {}, "auto")
-        import hashlib as _h
-        key = _h.sha256(
-            f"{d}|documents|['doc_id', 'text', 'lang', 'source', 'n_chars']"
-            f"|[]|auto|v3".encode()).hexdigest()[:16]
-        m = ChunkStore(os.path.join(_STORE_ROOT, key)).manifest_table()
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        _roundtrip(s, d, "documents", cols, {}, "auto")
+        # _store_path is the single source of the cache key (a hand-rebuilt
+        # hash here silently pointed at a stale store version once before)
+        m = ChunkStore(_store_path(d, "documents", cols, {}, "auto")) \
+            .manifest_table()
         mdf = s.createDataFrame(m.to_pandas())
         return (mdf.groupBy("codec")
                 .agg(F.sum("bytes_in").alias("bytes_in"),

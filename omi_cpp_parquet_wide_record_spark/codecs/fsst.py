@@ -397,6 +397,12 @@ class FsstCodec(Codec):
             marker_pos = ff_pos[((ff_pos - anchor) & 1) == 0]
         else:
             marker_pos = ff_pos
+        if len(marker_pos) and marker_pos[-1] == len(enc) - 1:
+            # corrupt/truncated payload ending in a bare escape marker:
+            # there is no literal slot after it — fail loudly instead of
+            # the IndexError the marker_pos+1 write would raise (ADVICE r2)
+            raise ValueError(
+                "fsst: truncated payload ends with escape marker")
         tok = enc != ESCAPE
         tok[marker_pos + 1] = False          # the literal slot after a marker
         tok[marker_pos] = True               # the marker is the token

@@ -132,8 +132,12 @@ def decode_store(spark: SparkSession, out_dir: str,
     # merge-on-read deletes must apply regardless of the requested
     # projection: decode the delete-key columns too, anti-join, and drop
     # them again before returning
-    delete_keys = [d["key"] for d in store.delete_files(snap)
-                   if d["key"] in schema.names]
+    # dict.fromkeys dedupes: several delete files often share one key
+    # column, and a duplicated name in decode_cols makes the mapInArrow
+    # schema ambiguous downstream
+    delete_keys = list(dict.fromkeys(
+        d["key"] for d in store.delete_files(snap)
+        if d["key"] in schema.names))
     if columns is not None:
         decode_cols = list(columns) + [k for k in delete_keys
                                        if k not in columns]
@@ -150,10 +154,25 @@ def decode_store(spark: SparkSession, out_dir: str,
         files = sorted(set(manifest.column("chunk_file").to_pylist()))
     chunks_dir = store.chunks_dir
 
-    parallelism = min(max(len(files), 1),
-                      spark.sparkContext.defaultParallelism * 4)
-    files_df = spark.createDataFrame([(f,) for f in files], "chunk_file string") \
-        .repartition(parallelism)
+    deletes = [d for d in store.delete_files(snap)
+               if d["key"] in schema.names]
+    # sequence-scoped deletes (Iceberg sequence numbers, ADVICE r2): a
+    # delete committed at snapshot n applies only to data from manifests
+    # committed BEFORE n, so rows re-inserted after the delete stay
+    # visible. The manifest filename encodes its commit number; the scan
+    # is split into one branch per commit epoch (driver-side metadata —
+    # epochs are commits, not data) and each delete anti-joins only the
+    # branches older than it.
+    need_seq = any(d.get("n") is not None for d in deletes)
+    commit_n: dict[str, int] = {}
+    if need_seq:
+        import pyarrow.parquet as _pq
+        for m in snap["manifests"]:
+            n_m = int(m.split("-")[1])
+            t = _pq.read_table(os.path.join(store.manifests_dir, m),
+                               columns=["chunk_file"])
+            for fname in set(t.column("chunk_file").to_pylist()):
+                commit_n.setdefault(fname, n_m)
 
     # spark-side schema string for mapInArrow
     from pyspark.sql.pandas.types import from_arrow_schema
@@ -175,18 +194,41 @@ def decode_store(spark: SparkSession, out_dir: str,
                 t = t.select(schema.names).cast(schema)
                 yield from t.to_batches()
 
-    out = files_df.mapInArrow(task, spark_schema)
+    def scan(file_subset: list[str]) -> DataFrame:
+        parallelism = min(max(len(file_subset), 1),
+                          spark.sparkContext.defaultParallelism * 4)
+        fdf = spark.createDataFrame([(f,) for f in file_subset],
+                                    "chunk_file string") \
+            .repartition(parallelism)
+        return fdf.mapInArrow(task, spark_schema)
+
     # merge-on-read deletes: anti-join each delete file's keys (the
     # Iceberg equality-delete read path); delete keys are small relative
     # to data, so these broadcast
     from pyspark.sql import functions as F
-    for d in store.delete_files(snap):
-        if d["key"] not in out.columns:
-            continue
-        keys = spark.read.parquet(
-            os.path.join(store.deletes_dir, d["file"]))
-        out = out.join(F.broadcast(keys.select(d["key"]).distinct()),
-                       d["key"], "left_anti")
+
+    def apply_deletes(df: DataFrame, epoch: int | None) -> DataFrame:
+        for d in deletes:
+            if epoch is not None and d.get("n") is not None \
+                    and epoch >= int(d["n"]):
+                continue   # data committed at/after the delete: not scoped
+            keys = spark.read.parquet(
+                os.path.join(store.deletes_dir, d["file"])) \
+                .select(d["key"]).distinct()
+            df = df.join(F.broadcast(keys), d["key"], "left_anti")
+        return df
+
+    if need_seq:
+        epochs = sorted({commit_n.get(f, 0) for f in files})
+        branches = [
+            apply_deletes(scan([f for f in files
+                                if commit_n.get(f, 0) == e]), e)
+            for e in epochs]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionAll(b)
+    else:
+        out = apply_deletes(scan(files), None)
     if filters:
         # exact residual filter over the surviving chunks (pruning is
         # conservative at chunk granularity, this makes it precise)

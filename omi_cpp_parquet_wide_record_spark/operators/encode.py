@@ -87,7 +87,14 @@ def _column_stats(arr: pa.Array) -> tuple[str | None, str | None]:
     import pyarrow.compute as pc
     mm = pc.min_max(arr)
     lo, hi = mm["min"].as_py(), mm["max"].as_py()
-    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+    if pa.types.is_timestamp(t):
+        # normalize to epoch MICROS regardless of the column's own unit —
+        # prune_files compares filter datetimes as micros, so a ms/ns
+        # column's raw int64 would silently mis-prune (ADVICE r2 #4)
+        us = pa.timestamp("us", tz=getattr(t, "tz", None))
+        lo = pa.scalar(lo, type=t).cast(us).cast(pa.int64()).as_py()
+        hi = pa.scalar(hi, type=t).cast(us).cast(pa.int64()).as_py()
+    elif pa.types.is_date(t):
         lo = pa.scalar(lo, type=t).cast(pa.int64()).as_py()
         hi = pa.scalar(hi, type=t).cast(pa.int64()).as_py()
     return json.dumps(lo), json.dumps(hi)

@@ -112,7 +112,8 @@ def _decode_batch(media: pa.Array) -> tuple[np.ndarray, np.ndarray,
     starts = starts[:-1]
     magic = np.frombuffer(FAKE_MAGIC, dtype=np.uint8)
     ok = lens >= 11
-    w = h = np.zeros(len(lens), dtype=np.int64)
+    w = np.zeros(len(lens), dtype=np.int64)
+    h = np.zeros(len(lens), dtype=np.int64)
     if len(corpus) and ok.any():
         hi = len(corpus) - 1
         for j in range(7):

@@ -41,19 +41,42 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1) -> dict:
             os.remove(os.path.join(store.manifests_dir, m))
             removed_manifests.append(m)
     orphans = remove_orphan_chunks(store)
+    removed_deletes = _remove_orphan_delete_files(store)
     return {"removed_snapshots": dead,
             "removed_manifests": removed_manifests,
-            "removed_orphan_chunks": orphans}
+            "removed_orphan_chunks": orphans,
+            "removed_delete_files": removed_deletes}
 
 
 def remove_orphan_chunks(store: ChunkStore) -> list[str]:
-    """Delete chunk files not referenced by the live snapshot's manifests
-    (failed-attempt leftovers; the commit protocol makes them invisible)."""
-    manifest = store.manifest_table()
-    referenced = set(manifest.column("chunk_file").to_pylist())
+    """Delete chunk files not referenced by ANY retained snapshot's
+    manifests (failed-attempt leftovers; the commit protocol makes them
+    invisible). A REPLACE commit drops old manifests from the live view,
+    but expire_snapshots(keep_last>1) retains older snapshots whose time
+    travel contract still needs their chunk files — so the referenced set
+    is the union over every snapshot still on disk, not just _current
+    (ADVICE r2 #1)."""
+    referenced: set[str] = set()
+    for snap in store.snapshots():
+        referenced.update(
+            store.manifest_table(snap).column("chunk_file").to_pylist())
     removed = []
     for f in os.listdir(store.chunks_dir):
         if f not in referenced:
             os.remove(os.path.join(store.chunks_dir, f))
             removed.append(f)
+    return removed
+
+
+def _remove_orphan_delete_files(store: ChunkStore) -> list[str]:
+    """Delete equality-delete files no retained snapshot references (same
+    union-over-retained-snapshots rule as chunks)."""
+    referenced = {d["file"] for snap in store.snapshots()
+                  for d in snap.get("delete_files", [])}
+    removed = []
+    if os.path.isdir(store.deletes_dir):
+        for f in os.listdir(store.deletes_dir):
+            if f not in referenced:
+                os.remove(os.path.join(store.deletes_dir, f))
+                removed.append(f)
     return removed

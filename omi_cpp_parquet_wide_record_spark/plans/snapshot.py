@@ -208,8 +208,11 @@ class ChunkStore:
             "parent_id": parent["snapshot_id"],
             "created_ms": int(time.time() * 1000),
             "run_id": run_id,
+            # "n" scopes the delete (Iceberg sequence numbers): it applies
+            # only to data from manifests committed BEFORE this snapshot,
+            # so re-inserting a deleted key later stays visible (ADVICE r2)
             "delete_files": self.delete_files(parent)
-            + [{"file": dname, "key": key_col}],
+            + [{"file": dname, "key": key_col, "n": n}],
         })
         sname = f"snapshot-{n:05d}.json"
         with open(os.path.join(self.snapshots_dir, sname), "w") as f:

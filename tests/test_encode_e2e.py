@@ -338,3 +338,113 @@ def test_sql_over_store_and_corruption_detection(spark, tmp_path):
     open(bad, "wb").write(bytes(data)[:-3])
     with pytest.raises(ValueError, match="bad chunk magic"):
         read_chunk_file(bad)
+
+
+def test_gc_keeps_time_travel_chunks_after_replace(spark, tmp_path):
+    """expire_snapshots(keep_last=2) after a REPLACE commit must keep the
+    chunk files the retained OLD snapshot references — GC previously
+    computed the referenced set from the live snapshot only, silently
+    breaking the time travel keep_last promised (ADVICE r2 #1)."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(spark.range(0, 300).select(
+        F.col("id"), (F.col("id") % 3).alias("v")), out,
+        salt_key="id", num_pids=2)
+    # REPLACE commit: new snapshot references ONLY the new manifest
+    spark.dataSource.register(OwrcDataSource)
+    spark.range(1000, 1100).select(F.col("id"), (F.col("id") % 3).alias("v")) \
+        .write.format("owrc").mode("overwrite").save(out)
+    store = ChunkStore(out)
+    assert len(store.snapshots()) == 2
+    report = expire_snapshots(store, keep_last=2)
+    assert report["removed_snapshots"] == []
+    # snapshot 0's data must still decode bit-for-bit (its chunks survived)
+    past = decode_store(spark, out, snapshot=0)
+    assert past.count() == 300
+    assert past.agg(F.max("id")).collect()[0][0] == 299
+    assert decode_store(spark, out).count() == 100
+    # keep_last=1 then legitimately drops snapshot 0 and its chunks
+    report = expire_snapshots(store, keep_last=1)
+    assert report["removed_snapshots"] == ["snapshot-00000.json"]
+    assert len(report["removed_orphan_chunks"]) > 0
+    assert decode_store(spark, out).count() == 100
+
+
+def test_delete_scoped_to_prior_commits(spark, tmp_path):
+    """Equality deletes carry the commit sequence (Iceberg sequence-number
+    scoping, ADVICE r2 #2): re-inserting a previously deleted key AFTER the
+    delete commit stays visible — the delete applies only to earlier data."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("old"), F.col("id")).alias("s")), out,
+        salt_key="id", num_pids=2)
+    delete_rows(out, spark.range(0, 10).select("id"), "id")
+    assert decode_store(spark, out).count() == 90
+    # re-insert ids 0..4 with new content AFTER the delete commit
+    encode_dataframe(spark.range(0, 5).select(
+        F.col("id"), F.concat(F.lit("new"), F.col("id")).alias("s")), out,
+        salt_key="id", num_pids=2, resume=False)
+    got = decode_store(spark, out)
+    assert got.count() == 95
+    re_ins = {r.s for r in got.filter(F.col("id") < 10).collect()}
+    assert re_ins == {"new0", "new1", "new2", "new3", "new4"}
+    # a LATER delete still removes both old and re-inserted rows
+    delete_rows(out, spark.range(0, 10).select("id"), "id")
+    assert decode_store(spark, out).count() == 90
+    # projection that excludes the key column still applies the delete
+    assert decode_store(spark, out, columns=["s"]).count() == 90
+
+
+def test_zone_map_ms_timestamp_pruning(spark, tmp_path):
+    """Zone-map stats must normalize timestamps to epoch micros regardless
+    of the column's storage unit — a ms-unit column used to store raw ms
+    ints that prune_files compared against micros (ADVICE r2 #4)."""
+    import datetime
+    import pyarrow as pa
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        _column_stats,
+    )
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    vals = [base + datetime.timedelta(seconds=i) for i in range(5)]
+    for unit in ("ms", "us", "ns"):
+        arr = pa.array(vals, type=pa.timestamp(unit, tz="UTC"))
+        lo, hi = _column_stats(arr)
+        import json as _json
+        assert _json.loads(lo) == int(base.timestamp() * 1_000_000), unit
+        assert _json.loads(hi) == int(
+            (base + datetime.timedelta(seconds=4)).timestamp() * 1_000_000)
+
+
+def test_fsst_truncated_trailing_marker():
+    """A corrupt token stream ending in a bare 0xFF escape marker must raise
+    a clean ValueError, not IndexError (ADVICE r2 #3)."""
+    import pyarrow as pa
+    import pytest
+    from omi_cpp_parquet_wide_record_spark.codecs.fsst import FsstCodec
+    from omi_cpp_parquet_wide_record_spark.codecs.base import type_name
+    codec = FsstCodec()
+    arr = pa.array(["hello world the quick brown fox"] * 64)
+    sections, params = codec.encode(arr)
+    params = {**params, "atype": type_name(arr.type)}
+    # sections = [tab_lens, tab_flat, row_lens, enc]; append a bare marker
+    corrupt = list(sections)
+    corrupt[3] = bytes(corrupt[3]) + b"\xff"
+    with pytest.raises(ValueError, match="escape marker"):
+        codec.decode(corrupt, params)
