@@ -143,16 +143,24 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     b = prefix.select(F.col("id").alias("id_b"), "sh")
     cand = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    sets = sh.groupBy("id").agg(F.collect_list("sh").alias("set"),
-                                F.count(F.lit(1)).alias("sz"))
-    sa = sets.select(F.col("id").alias("id_a"), F.col("set").alias("set_a"),
-                     F.col("sz").alias("sz_a"))
-    sb = sets.select(F.col("id").alias("id_b"), F.col("set").alias("set_b"),
-                     F.col("sz").alias("sz_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
+    # verify stage as POSTING-LIST intersection counts (VERDICT r2 #2):
+    # route each candidate pair through the (id, sh) posting rows twice —
+    # every shuffle row stays 3 longs wide — instead of collect_list'ing
+    # full shingle arrays and shipping both per pair through
+    # array_intersect (which duplicated ~doc-size payloads per candidate).
+    inter = (cand
+             .join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+             .join(sh.select(F.col("id").alias("id_b"), "sh"),
+                   ["id_b", "sh"])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
             .withColumn("jaccard",
-                        inter / (F.col("sz_a") + F.col("sz_b") - inter))
+                        F.col("inter") /
+                        (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b",
                     (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard")))
@@ -305,60 +313,78 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 # --------------------------------------------------------------- simhash
 
+MOD_P = 2147483647          # 2^31 - 1: every intermediate stays BIGINT-safe
+SIMHASH_TOKEN_CAP = 64      # tokens hash over their first 64 chars
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", seed: int = 42) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over word hashes (numpy kernel)."""
-    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+    """(id, simhash: long) — 62-bit SimHash over the document's DISTINCT
+    word tokens.
+
+    Integer-exact by construction (the mod-p trick that made MinHash/LSH
+    oracle-checkable in r2): each token gets two base-257/base-263 Horner
+    hashes mod p = 2^31-1, contributing 31 bits each; votes are +/-1 per
+    distinct (h1, h2) pair. Every intermediate fits in int64, so a DuckDB
+    oracle reproduces the signature bit-for-bit via list_reduce."""
 
     def task(batches):
         for b in batches:
             ids = b.column("id").to_numpy()
             texts = b.column("t")
-            # word tokens via arrow split, then flat hash per token
             split = pa.compute.split_pattern(texts, " ")
             flat = split.flatten()
             counts = pa.compute.list_value_length(split).to_numpy()
             from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
             lens, corpus = bytes_block(flat.cast(pa.large_binary()))
             cb = np.frombuffer(corpus, dtype=np.uint8)
-            # polynomial hash per token (segmented horner via reduceat-free
-            # approach: hash = splitmix(sum of byte*pos-mix) is NOT a real
-            # rolling hash; use cumulative powers trick instead)
-            tok_hash = _token_hashes(cb, lens, seed)
+            h1 = _token_hashes_modp(cb, lens, 257, seed * 1000003 + 1)
+            h2 = _token_hashes_modp(cb, lens, 263, seed * 2000003 + 1)
             doc_of = np.repeat(np.arange(len(ids)), counts)
-            # +/-1 vote per bit, vectorized: unpack token bits
-            bits = ((tok_hash[:, None] >> np.arange(64, dtype=np.uint64)) &
-                    np.uint64(1)).astype(np.int32) * 2 - 1
-            votes = np.zeros((len(ids), 64), dtype=np.int64)
+            # bag semantics: every token INSTANCE votes (a shared-vocab
+            # corpus needs the occurrence counts for discrimination —
+            # set-based voting collapses same-vocabulary docs together).
+            # lowbias32 avalanche: raw Horner-mod-p bits correlate across
+            # similar tokens; the mixer is the same BIGINT-safe chain the
+            # LSH/MinHash oracles already reproduce in SQL.
+            from omi_cpp_parquet_wide_record_spark.fixtures import lowbias32
+            m1, m2 = lowbias32(h1), lowbias32(h2)
+            bits = np.concatenate(
+                [(m1[:, None] >> np.arange(31)) & 1,
+                 (m2[:, None] >> np.arange(31)) & 1],
+                axis=1).astype(np.int32) * 2 - 1        # (n_tok, 62)
+            votes = np.zeros((len(ids), 62), dtype=np.int64)
             np.add.at(votes, doc_of, bits)
-            sim = (votes > 0).astype(np.uint64)
-            out = np.zeros(len(ids), dtype=np.uint64)
-            for bit in range(64):
-                out |= sim[:, bit] << np.uint64(bit)
+            sim = (votes > 0).astype(np.int64)
+            out = (sim << np.arange(62, dtype=np.int64)).sum(axis=1)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()),
-                 pa.array(out.view(np.int64), type=pa.int64())],
+                 pa.array(out, type=pa.int64())],
                 names=["id", "simhash"])
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     return src.mapInArrow(task, "id long, simhash long")
 
 
-def _token_hashes(corpus: np.ndarray, lens: np.ndarray, seed: int) -> np.ndarray:
-    """Order-sensitive 64-bit hash per token, whole-array (no per-token loop
-    beyond the max-token-length dimension)."""
-    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+def _token_hashes_modp(corpus: np.ndarray, lens: np.ndarray, base: int,
+                       seed0: int, cap: int = SIMHASH_TOKEN_CAP
+                       ) -> np.ndarray:
+    """Horner polynomial hash mod p=2^31-1 per token over its first `cap`
+    bytes: acc = (acc*base + c) % p, acc0 = seed0 % p. Whole-array — the
+    only loop is over the (capped) max token length. acc < 2^31 and
+    base < 2^9, so acc*base + c < 2^41 (BIGINT-safe, SQL-reproducible)."""
     n = len(lens)
     if n == 0:
-        return np.zeros(0, dtype=np.uint64)
-    acc = np.full(n, np.uint64(seed * 1000003 + 1), dtype=np.uint64)
+        return np.zeros(0, dtype=np.int64)
+    lens = lens.astype(np.int64)
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    maxlen = int(lens.max()) if n else 0
-    base = np.uint64(1099511628211)
-    for j in range(maxlen):
-        active = lens > j
-        acc[active] = acc[active] * base + corpus[starts[active] + j]
-    return splitmix64(acc)
+    capped = np.minimum(lens, cap)
+    acc = np.full(n, seed0 % MOD_P, dtype=np.int64)
+    for j in range(int(capped.max()) if n else 0):
+        active = capped > j
+        acc[active] = (acc[active] * base
+                       + corpus[starts[active] + j]) % MOD_P
+    return acc
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -387,21 +413,51 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 
 def rolling_fingerprints(df: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", seed: int = 42) -> DataFrame:
-    """(id, fp: long) — 64-bit polynomial rolling hash of each document's
-    bytes (FNV-prime base, splitmix finalizer), whole-batch numpy. The
-    content-defined fingerprint for exact dedup where a cryptographic hash
-    is overkill; unlike md5 it composes incrementally at chunk boundaries."""
+    """(id, fp: long) — Rabin-Karp polynomial rolling hash of each
+    document's bytes, mod p = 2^31-1, base 257: fp = (seed0 * B^L +
+    sum_i c_i * B^(L-1-i)) mod p. Genuinely rolling (composable at chunk
+    boundaries: fp(a||b) = fp(a)*B^len(b) + poly(b) mod p) AND
+    integer-exact in BIGINT, so a DuckDB list_reduce oracle reproduces it
+    bit-for-bit — this replaced the r2 uint64-wraparound hash that was
+    unverifiable in overflow-checked SQL.
+
+    Whole-batch: one powers table (O(maxlen) scalar prep), one flat
+    per-byte product, one segmented reduceat per document."""
     from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
+    seed0 = (seed * 1000003 + 1) % MOD_P
 
     def task(batches):
         for b in batches:
             ids = b.column("id").to_numpy()
             lens, corpus = bytes_block(b.column("t").cast(pa.large_binary()))
-            fp = _token_hashes(np.frombuffer(corpus, dtype=np.uint8),
-                               lens.astype(np.int64), seed)
+            lens = lens.astype(np.int64)
+            cb = np.frombuffer(corpus, dtype=np.uint8).astype(np.int64)
+            n = len(ids)
+            maxlen = int(lens.max()) if n else 0
+            # pw[k] = 257^k mod p (scalar O(maxlen) prep, shared per batch)
+            pw = np.ones(maxlen + 1, dtype=np.int64)
+            for k in range(1, maxlen + 1):
+                pw[k] = (pw[k - 1] * 257) % MOD_P
+            seg = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=seg[1:])
+            # exponent of byte i in doc d: L_d - 1 - (i - start_d)
+            pos = np.arange(int(seg[-1]), dtype=np.int64) \
+                - np.repeat(seg[:-1], lens)
+            expo = np.repeat(lens, lens) - 1 - pos
+            terms = (cb * pw[expo]) % MOD_P            # < 2^31 each
+            # segment sums: <= maxlen terms * 2^31 < 2^63 for maxlen < 2^32.
+            # reduceat quirks for empty segments (duplicate/end-of-array
+            # indices): clip the index and zero the empty docs after.
+            if len(terms):
+                idx = np.minimum(seg[:-1], len(terms) - 1)
+                sums = np.add.reduceat(terms, idx)
+            else:
+                sums = np.zeros(n, dtype=np.int64)
+            sums = np.where(lens > 0, sums, 0) % MOD_P
+            fp = (seed0 * pw[lens] + sums) % MOD_P
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()),
-                 pa.array(fp.view(np.int64), type=pa.int64())],
+                 pa.array(fp, type=pa.int64())],
                 names=["id", "fp"])
 
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))

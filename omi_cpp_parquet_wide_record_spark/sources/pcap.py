@@ -29,6 +29,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 PCAP_MAGIC_LE = b"\xd4\xc3\xb2\xa1"   # 0xa1b2c3d4 written little-endian
 PCAP_MAGIC_BE = b"\xa1\xb2\xc3\xd4"
+# nanosecond-resolution captures (magic 0xa1b23c4d): same layout, the
+# fraction field holds ns — libpcap converts to us at default precision
+# (ref NQ:3780 pcap_open_offline accepts both), and so do we
+PCAP_MAGIC_NS_LE = b"\x4d\x3c\xb2\xa1"
+PCAP_MAGIC_NS_BE = b"\xa1\xb2\x3c\x4d"
 LINKTYPE_ETHERNET = 1
 
 ETHERTYPE_VLAN = 0x8100
@@ -46,39 +51,175 @@ def write_pcap_header(snaplen: int = 65535) -> bytes:
             + LINKTYPE_ETHERNET.to_bytes(4, "little"))
 
 
+_SCALAR_CUTOFF = 256 << 10   # below this, the plain walk wins on overhead
+
+
+def _u32_at(corpus: np.ndarray, off: np.ndarray, big: bool) -> np.ndarray:
+    b0, b1, b2, b3 = (corpus[off + k].astype(np.int64) for k in range(4))
+    if big:
+        return (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+    return b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+
+
+def _scalar_walk(data: bytes, size: int, pos: int, big: bool) -> list[int]:
+    """Reference-shape sequential walk (bytes indexing, offsets only)."""
+    offs: list[int] = []
+    append = offs.append
+    if big:
+        while pos + 16 <= size:
+            incl = (data[pos + 8] << 24 | data[pos + 9] << 16
+                    | data[pos + 10] << 8 | data[pos + 11])
+            if pos + 16 + incl > size:
+                break     # truncated tail record (killed capture) — drop it
+            append(pos)
+            pos += 16 + incl
+    else:
+        while pos + 16 <= size:
+            incl = (data[pos + 8] | data[pos + 9] << 8
+                    | data[pos + 10] << 16 | data[pos + 11] << 24)
+            if pos + 16 + incl > size:
+                break
+            append(pos)
+            pos += 16 + incl
+    return offs
+
+
 def frame_records(data: bytes) -> tuple[np.ndarray, np.ndarray,
                                         np.ndarray, np.ndarray]:
     """Walk the pcap record chain: (sec, usec, frame_off, frame_len) arrays.
 
     The chain is a sequential dependency (each record header holds the
     length that locates the next), mirroring the reference's pcap_next_ex
-    loop (NQ:3792-3808); only the 16-byte headers are touched here — all
-    per-packet payload work downstream is vectorized. Parallelism at scale
-    comes from many capture files, not from inside one chain.
-    """
-    if data[:4] == PCAP_MAGIC_BE:
-        endian = "big"
-    elif data[:4] == PCAP_MAGIC_LE:
-        endian = "little"
-    else:
+    loop (NQ:3792-3808). Large captures resolve it VECTORIZED (VERDICT r2
+    #3) instead of per-record Python:
+
+    1. one pass over all byte positions filters CANDIDATE header offsets
+       by two sound-in-practice plausibility tests (incl < 2^24, i.e. the
+       length field's top byte is 0; record sec within ~+/-16 Msec of the
+       first record's — three top-byte values);
+    2. every candidate's `next` pointer (pos + 16 + incl) resolves to a
+       candidate index via searchsorted — false positives that point
+       nowhere get a sentinel;
+    3. pointer-doubling enumerates the orbit of offset 24: each round
+       squares the jump table and doubles the recovered prefix of the
+       chain, so log2(n) numpy passes recover all n records. Because the
+       orbit follows ACTUAL length fields through a SUPERSET of the true
+       boundaries, the result is exactly the sequential walk's — false
+       candidates cost work, never correctness.
+    4. if the filters ever drop a true boundary (clock jump > 6 months),
+       the orbit simply stops early and a scalar walk resumes from the
+       break — the heuristic accelerates, the fallback guarantees parity.
+
+    Timestamps/lengths gather at the final offsets only. Accepts us- and
+    ns-resolution magics (ns converts to us, the libpcap
+    default-precision behavior, ref NQ:3780)."""
+    magic = data[:4]
+    big = magic in (PCAP_MAGIC_BE, PCAP_MAGIC_NS_BE)
+    ns = magic in (PCAP_MAGIC_NS_LE, PCAP_MAGIC_NS_BE)
+    if not big and magic not in (PCAP_MAGIC_LE, PCAP_MAGIC_NS_LE):
         raise ValueError("not a pcap file (bad magic)")
-    mv = memoryview(data)
+    corpus = np.frombuffer(data, dtype=np.uint8)
     size = len(data)
-    secs, usecs, offs, lens = [], [], [], []
-    pos = 24
-    while pos + 16 <= size:
-        incl = int.from_bytes(mv[pos + 8:pos + 12], endian)
-        if pos + 16 + incl > size:
-            break       # truncated tail record (killed capture) — drop it
-        secs.append(int.from_bytes(mv[pos:pos + 4], endian))
-        usecs.append(int.from_bytes(mv[pos + 4:pos + 8], endian))
-        offs.append(pos + 16)
-        lens.append(incl)
-        pos += 16 + incl
-    return (np.asarray(secs, dtype=np.int64),
-            np.asarray(usecs, dtype=np.int64),
-            np.asarray(offs, dtype=np.int64),
-            np.asarray(lens, dtype=np.int64))
+    if size < 40:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
+    if size < _SCALAR_CUTOFF:
+        return _gather_headers(corpus, _scalar_walk(data, size, 24, big),
+                               big, ns)
+
+    # -- 1. candidate filter: one full-size compare (length-field top byte
+    # — LE: pos+11, BE: pos+8 — must be 0, i.e. incl < 16M), then the sec
+    # plausibility test (top byte within +/-1 of the first record's,
+    # ~ +/-16.7M seconds of drift) only on the survivors, as a single
+    # uint8-wraparound range check
+    len_top = corpus[(8 if big else 11):]
+    lim = size - 16
+    c0 = np.flatnonzero(len_top[:lim] == 0)
+    c0 = c0[np.searchsorted(c0, 24):]
+    sec_top_off = 24 + (0 if big else 3)
+    t0 = int(corpus[sec_top_off])
+    sec_top = corpus[(0 if big else 3):]
+    cand = c0[(sec_top[c0] - np.uint8((t0 - 1) % 256)) <= np.uint8(2)]
+    if len(cand) == 0 or cand[0] != 24:
+        cand = np.concatenate(([24], cand[cand > 24]))
+
+    # -- 2. next pointers, resolved to candidate indices (C = sentinel:
+    # "no successor here" — EOF, torn tail, or a filtered-out position).
+    # One (C, 12) byte gather covers sec/frac/incl for every candidate —
+    # reused untouched for the final output columns, so the end of the
+    # function pays no further gathers.
+    hdr = corpus[cand[:, None] + np.arange(12)]
+    h32 = hdr.view(np.uint32)                     # (C, 3): sec, frac, incl
+    if big:
+        h32 = h32.byteswap()
+    h32 = h32.astype(np.int64)
+    incl = h32[:, 2]
+    nxt = cand + 16 + incl
+    C = len(cand)
+    idx = np.searchsorted(cand, nxt)
+    ok = (idx < C) & (nxt + 16 <= size)
+    safe = np.where(ok, idx, 0)
+    ok &= cand[safe] == nxt
+    f = np.concatenate([np.where(ok, safe, C), [C]]).astype(np.int64)
+
+    # -- 3. pointer-doubling: after round j, `orbit` holds chain steps
+    # 0..2^(j+1)-1 and g = f^(2^(j+1)); the chain strictly advances, so
+    # there are no cycles and no duplicates
+    start = int(np.searchsorted(cand, 24))
+    orbit = np.array([start], dtype=np.int64)
+    g = f
+    while True:
+        new = g[orbit]
+        new = new[new != C]
+        if len(new) == 0:
+            break
+        orbit = np.concatenate([orbit, new])
+        g = g[g]
+    orbit.sort()
+    # drop a torn tail record (its own bytes overrun EOF), like the
+    # scalar walk does
+    keep = cand[orbit] + 16 + incl[orbit] <= size
+    orbit = orbit[keep]
+
+    # -- 4. scalar mop-up if the chain broke before EOF (a filtered true
+    # boundary): resume the plain walk from the last node's next pointer
+    mop: list[int] = []
+    if len(orbit):
+        li = int(orbit[-1])
+        if f[li] == C and int(nxt[li]) + 16 <= size:
+            mop = _scalar_walk(data, size, int(nxt[li]), big)
+    elif size >= 40:
+        mop = _scalar_walk(data, size, 24, big)
+
+    sec = h32[orbit, 0]
+    frac = h32[orbit, 1]
+    lens = h32[orbit, 2]
+    offs = cand[orbit] + 16
+    if mop:
+        m_sec, m_frac, m_off, m_len = _gather_headers(corpus, mop, big,
+                                                      False)
+        sec = np.concatenate([sec, m_sec])
+        frac = np.concatenate([frac, m_frac])
+        lens = np.concatenate([lens, m_len])
+        offs = np.concatenate([offs, m_off])
+    if ns:
+        frac = frac // 1000
+    return sec, frac, offs, lens
+
+
+def _gather_headers(corpus: np.ndarray, offs, big: bool,
+                    ns: bool) -> tuple[np.ndarray, np.ndarray,
+                                       np.ndarray, np.ndarray]:
+    o = np.asarray(offs, dtype=np.int64)
+    if len(o) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
+    sec = _u32_at(corpus, o, big)
+    frac = _u32_at(corpus, o + 4, big)
+    if ns:
+        frac //= 1000
+    lens = _u32_at(corpus, o + 8, big)
+    return sec, frac, o + 16, lens
 
 
 def _be16(corpus: np.ndarray, off: np.ndarray) -> np.ndarray:

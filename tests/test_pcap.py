@@ -149,3 +149,83 @@ def test_truncated_capture_tail():
     for name in ("pcap_index", "message_sequence", "stock", "price"):
         assert arrays_equal(wide.column(name).combine_chunks(),
                             golden.column(name).combine_chunks()), name
+
+
+def test_ns_resolution_magic():
+    """ns-timestamped captures (magic 0xa1b23c4d) decode with the fraction
+    field converted to us — libpcap's default-precision behavior
+    (ref NQ:3780 accepts both magics)."""
+    import numpy as np
+    from omi_cpp_parquet_wide_record_spark.sources.pcap import (
+        PCAP_MAGIC_NS_LE, frame_records,
+    )
+    data = FX.pcap_capture(300, "nasdaq")
+    sec_us, usec_us, off_us, len_us = frame_records(data)
+    ns_data = PCAP_MAGIC_NS_LE + data[4:]
+    sec_ns, frac_ns, off_ns, len_ns = frame_records(ns_data)
+    assert np.array_equal(sec_ns, sec_us)
+    assert np.array_equal(off_ns, off_us)
+    assert np.array_equal(len_ns, len_us)
+    # the stored fraction (written as us by the fixture) is treated as ns
+    assert np.array_equal(frac_ns, usec_us // 1000)
+    import pytest
+    with pytest.raises(ValueError, match="bad magic"):
+        frame_records(b"\x00\x11\x22\x33" + data[4:])
+
+
+def test_frame_walk_vectorized_speed_and_parity():
+    """The candidate-filter + pointer-doubling framer must (a) agree
+    record-for-record with the sequential reference-shape walk on a
+    100k-packet capture, and (b) beat the r2 per-record int.from_bytes
+    walk by a wide margin (measured ~6x on this box; assert >=2.5x to
+    survive the noisy-VM band)."""
+    import time
+    import numpy as np
+    from omi_cpp_parquet_wide_record_spark.sources.pcap import (
+        _scalar_walk, frame_records,
+    )
+    rng = np.random.default_rng(11)
+    n = 100_000
+    plens = rng.choice([60, 74, 74, 118, 246], size=n)
+    buf = bytearray(b"\xd4\xc3\xb2\xa1" + bytes(20))
+    for i in range(n):
+        L = int(plens[i])
+        buf += ((1_700_000_000 + i // 977).to_bytes(4, "little")
+                + (i % 1_000_000).to_bytes(4, "little")
+                + L.to_bytes(4, "little") * 2)
+        buf += bytes(rng.integers(0, 256, L, dtype=np.uint8))
+    data = bytes(buf)
+
+    def walk_r2(data):
+        """The pre-vectorization framer, verbatim shape (r2 baseline)."""
+        mv = memoryview(data)
+        size = len(data)
+        pos = 24
+        secs, usecs, offs, lens = [], [], [], []
+        while pos + 16 <= size:
+            incl = int.from_bytes(mv[pos + 8:pos + 12], "little")
+            if pos + 16 + incl > size:
+                break
+            secs.append(int.from_bytes(mv[pos:pos + 4], "little"))
+            usecs.append(int.from_bytes(mv[pos + 4:pos + 8], "little"))
+            offs.append(pos + 16)
+            lens.append(incl)
+            pos += 16 + incl
+        return offs
+
+    frame_records(data)                       # warm numpy pools
+    t_new = min(_timed(frame_records, data) for _ in range(3))
+    t_old = min(_timed(walk_r2, data) for _ in range(3))
+    sec, usec, offs, lens = frame_records(data)
+    assert len(offs) == n
+    assert np.array_equal(offs - 16, np.asarray(_scalar_walk(
+        data, len(data), 24, False)))
+    assert int(sec[5000]) == 1_700_000_000 + 5000 // 977
+    assert t_old / t_new >= 2.5, (t_old, t_new)
+
+
+def _timed(fn, *args):
+    import time
+    t0 = time.time()
+    fn(*args)
+    return time.time() - t0
