@@ -331,17 +331,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------------- reference operators O2-O14 over the driver tables
     def _pruned_scan(s, d):
-        """O13 with real I/O pruning: decode only 2 of 5 columns (footer
-        seeks read just those byte ranges) plus a zone-map filter that
-        skips whole chunk files before any decode happens."""
+        """O13 with real I/O pruning AND cross-snapshot schema evolution:
+        commit 0 writes the low half of documents with 3 columns, commit 1
+        appends the high half with a 4th column (n_chars). The live read
+        then exercises, in one query: footer-seek column pruning, zone-map
+        file skipping (doc_id < 200), read-time null-fill for rows from
+        chunks committed before the column existed (Iceberg add-column
+        semantics), and the multi-commit manifest union."""
+        import pyarrow.parquet as _pq
         from omi_cpp_parquet_wide_record_spark.operators.decode import (
             decode_store,
         )
-        cols = ["doc_id", "text", "lang", "source", "n_chars"]
-        _roundtrip(s, d, "documents", cols, {}, "auto")
-        return decode_store(s, _store_path(d, "documents", cols, {}, "auto"),
-                            columns=["doc_id", "lang"],
-                            filters=[("doc_id", "<", 200)])
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            encode_dataframe,
+        )
+        from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+            ChunkStore,
+        )
+        _tune(s)
+        n_src = _pq.ParquetFile(
+            os.path.join(d, "documents.parquet")).metadata.num_rows
+        half = n_src // 2
+        out = _store_path(d, "documents", ["evolved"], {}, "v1")
+        ok = False
+        if os.path.exists(os.path.join(out, "_current")):
+            try:
+                st = ChunkStore(out)
+                ok = (st.metrics()["rows"] == n_src
+                      and len(st.snapshots()) == 2)
+            except Exception:
+                ok = False
+        if not ok:
+            shutil.rmtree(out, ignore_errors=True)
+            docs = _read(s, d, "documents")
+            encode_dataframe(
+                docs.filter(F.col("doc_id") < half)
+                    .select("doc_id", "text", "lang"),
+                out, salt_key="doc_id", num_pids=8)
+            encode_dataframe(
+                docs.filter(F.col("doc_id") >= half)
+                    .select("doc_id", "text", "lang", "n_chars"),
+                out, salt_key="doc_id", num_pids=8, resume=False)
+        # 300 straddles the sf0.01 commit boundary (250), so the driver
+        # sees null-filled OLD rows and populated NEW rows side by side
+        return decode_store(s, out, columns=["doc_id", "lang", "n_chars"],
+                            filters=[("doc_id", "<", 300)])
     q["pruned_filtered_scan"] = _pruned_scan
 
     q["o2_protocol_filter"] = lambda s, d: etl.protocol_filter(
@@ -682,8 +716,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang, source, text FROM documents"
     sql["codec_for_roundtrip"] = "SELECT o_orderkey, o_custkey FROM orders"
 
+    # evolved store: rows encoded before n_chars existed read back NULL
+    # (Iceberg add-column null-fill); the commit boundary is count/2
     sql["pruned_filtered_scan"] = (
-        "SELECT doc_id, lang FROM documents WHERE doc_id < 200")
+        "SELECT doc_id, lang, CASE WHEN doc_id >= "
+        "(SELECT count(*) // 2 FROM documents) THEN n_chars END AS n_chars "
+        "FROM documents WHERE doc_id < 300")
 
     sql["o2_protocol_filter"] = (
         "SELECT event_id, user_id, value FROM events "
@@ -970,6 +1008,15 @@ def oracle_sql() -> dict[str, str]:
         "FROM ranked WHERE rk <= 5")
     cos_ab = cos.replace("q.embedding", "a.embedding").replace(
         "c.embedding", "b.embedding")
+    # quantized-exact cosine for the numpy re-rank paths (LSH / IVF): the
+    # Spark kernel quantizes to fixed point (floor(v * 2^20)) so dots and
+    # norms are exact integers < 2^48 — exactly representable in DOUBLE,
+    # making the value bit-identical regardless of summation order
+    qa = "list_transform(a.embedding, x -> floor(CAST(x AS DOUBLE) * 1048576))"
+    qb = "list_transform(b.embedding, x -> floor(CAST(x AS DOUBLE) * 1048576))"
+    qcos_ab = (f"list_dot_product({qa}, {qb}) / "
+               f"(sqrt(list_dot_product({qa}, {qa})) * "
+               f"sqrt(list_dot_product({qb}, {qb})))")
     sql["dedup_embedding_cosine"] = (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
         f"floor(({cos_ab}) * 10000) / 10000 AS cosine "
@@ -1006,10 +1053,10 @@ def oracle_sql() -> dict[str, str]:
         "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b "
         "FROM bk a JOIN bk b USING (band, bh) WHERE a.vec_id < b.vec_id) "
         "SELECT id_a, id_b, "
-        f"floor(({cos_ab}) * 10000) / 10000 AS cosine "
+        f"floor(({qcos_ab}) * 10000) / 10000 AS cosine "
         "FROM cand JOIN embeddings a ON a.vec_id = id_a "
         "JOIN embeddings b ON b.vec_id = id_b "
-        f"WHERE floor(({cos_ab}) * 10000) / 10000 >= 0.2")
+        f"WHERE floor(({qcos_ab}) * 10000) / 10000 >= 0.2")
 
     # mod-p MinHash (p = 2^31-1, base-257 char 5-gram polynomial, lowbias32
     # perm params with seed 42 -> 42*1000003 = 42000126): every intermediate
@@ -1191,7 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "cand AS (SELECT query_id, neighbor_id FROM probes "
         "JOIN assign USING (centroid) WHERE query_id != neighbor_id), "
         "scored AS (SELECT query_id, neighbor_id, "
-        f"floor(({cos_ab}) * 10000) / 10000 AS cosine FROM cand "
+        f"floor(({qcos_ab}) * 10000) / 10000 AS cosine FROM cand "
         "JOIN embeddings a ON a.vec_id = query_id "
         "JOIN embeddings b ON b.vec_id = neighbor_id), "
         "ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() "

@@ -112,11 +112,11 @@ def main() -> int:
     qs = entrymod.queries()
     bench_queries = [
         "tpch_q1_pricing_summary", "topk_per_group", "broadcast_join_enrich",
-        "sessionize", "o3_dense_row_index", "o7_type_dispatch",
+        "sessionize", "o3_o6_index_sequence", "o7_type_dispatch",
         "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
         "dedup_simhash", "text_profile", "ann_cosine_topk",
         "ann_lsh_candidates", "streaming_tumbling_counts",
-        "codec_fsst_roundtrip", "codec_delta_roundtrip",
+        "codec_dict_fsst_roundtrip", "codec_multi_roundtrip_events",
         "pcap_parse", "corpus_curation", "ann_ivf_topk",
     ]
     for name in bench_queries:

@@ -285,7 +285,11 @@ def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
 class FsstCodec(Codec):
     name = "fsst"
 
-    def __init__(self, rounds: int = 6, per_round: int = 64, min_count: int = 8):
+    # rounds=4: measured on the web corpus, rounds 5-6 leave the ratio
+    # unchanged (2.57 text / 2.31 html) while costing ~2x encode time —
+    # the table caps at 255 codes and the late rounds only churn marginal
+    # symbols (r3 sweep; r2 ran rounds=6)
+    def __init__(self, rounds: int = 4, per_round: int = 64, min_count: int = 8):
         self.rounds = rounds
         self.per_round = per_round
         self.min_count = min_count

@@ -195,8 +195,10 @@ def decode_store(spark: SparkSession, out_dir: str,
                 yield from t.to_batches()
 
     def scan(file_subset: list[str]) -> DataFrame:
+        # 2 x cores balances task-level skew against the ~5 ms/task
+        # JVM->Python Arrow runner setup (several chunk files per task)
         parallelism = min(max(len(file_subset), 1),
-                          spark.sparkContext.defaultParallelism * 4)
+                          spark.sparkContext.defaultParallelism * 2)
         fdf = spark.createDataFrame([(f,) for f in file_subset],
                                     "chunk_file string") \
             .repartition(parallelism)

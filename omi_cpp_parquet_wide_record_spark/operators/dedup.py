@@ -33,6 +33,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 _LIVE_CACHES: dict[str, DataFrame] = {}
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a kernel input up to cluster parallelism when the
+    upstream scan produced too few partitions (a 25 MB parquet file is ONE
+    task, which would serialize the whole numpy kernel on one core). The
+    shuffle moves only the kernel's narrow input columns; skipped when the
+    plan is already parallel enough."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        have = 1
+    return df.repartition(want) if have < want else df
+
+
 def _rotate_cache(site: str, df: DataFrame) -> DataFrame:
     prev = _LIVE_CACHES.pop(site, None)
     if prev is not None:
@@ -131,7 +145,11 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     sh = _shingles(df, text_col, id_col, n) \
         .select("id", F.xxhash64("shingle").alias("sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    sh = sh.join(dfreq, "sh")
+    # the posting list feeds five consumers (prefix window, candidate
+    # self-join sides, both intersection joins, sizes) — persist the
+    # NARROW (id, sh, df) rows (3 longs) so the explode+hash+groupBy
+    # subtree runs once, not per consumer
+    sh = _rotate_cache("ngram_sh", sh.join(dfreq, "sh"))
     w = Window.partitionBy("id").orderBy("df", "sh")
     sized = (sh.withColumn("pos", F.row_number().over(w))
                .withColumn("sz", F.count(F.lit(1)).over(
@@ -241,8 +259,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     oracle's min-aggregate drops them the same way)."""
     from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
     kernel = _minhash_kernel(n_perms, n_shingle, seed)
-    src = (df.filter(F.length(F.col(text_col)) >= n_shingle)
-             .select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    src = _spread(df.filter(F.length(F.col(text_col)) >= n_shingle)
+                  .select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("t")))
 
     def task(batches):
         for b in batches:
@@ -362,7 +381,8 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                  pa.array(out, type=pa.int64())],
                 names=["id", "simhash"])
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    src = _spread(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t")))
     return src.mapInArrow(task, "id long, simhash long")
 
 
@@ -460,7 +480,8 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
                  pa.array(fp, type=pa.int64())],
                 names=["id", "fp"])
 
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    src = _spread(df.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("t")))
     return src.mapInArrow(task, "id long, fp long")
 
 

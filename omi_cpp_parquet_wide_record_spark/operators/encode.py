@@ -258,6 +258,7 @@ def encode_dataframe(
     resume: bool = True,
     run_id: str | None = None,
     codec_overrides: dict | None = None,
+    num_tasks: int | None = None,
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
 
@@ -265,6 +266,12 @@ def encode_dataframe(
     (e.g. ["lang"] — DICT/FSST tables then specialize per language).
     salt_key: high-cardinality column (e.g. "url") hashed into the pid to
     split skewed partition_by values across `salt` buckets.
+    num_tasks: Spark partitions for the encode stage. Decoupled from
+    num_pids on purpose: pids are the CONTENT-DERIVED work/resume/skew
+    unit (fine-grained, ~MBs), while the JVM->Python Arrow runner costs
+    ~5 ms per TASK — so several pids ride in one task (the encode task
+    groups by pid internally and flushes per-pid chunks). Default
+    4 x defaultParallelism, cap num_pids.
     """
     t0 = time.time()
     spark = df.sparkSession
@@ -283,7 +290,10 @@ def encode_dataframe(
     if committed:
         work = work.filter(~F.col(PID_COL).isin(*[int(p) for p in committed]))
 
-    work = work.repartition(num_pids, F.col(PID_COL))
+    if num_tasks is None:
+        num_tasks = min(num_pids,
+                        max(spark.sparkContext.defaultParallelism * 4, 8))
+    work = work.repartition(num_tasks, F.col(PID_COL))
 
     task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
                                 chunk_bytes, codec_overrides, partition_by)

@@ -20,6 +20,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from omi_cpp_parquet_wide_record_spark.operators.dedup import _spread
+
 
 def trunc(col, digits: int):
     """floor-truncation: deterministic across engines (round() half-up vs
@@ -82,6 +84,49 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
 LSH_SCALE = 1 << 20      # fixed-point quantization of embedding values
 
 
+def _pair_cosine_quantized(pairs: DataFrame, id_a: str, id_b: str,
+                           va: str, vb: str, round_to: int = 4) -> DataFrame:
+    """(id_a, id_b, cosine) — numpy re-rank kernel for candidate pairs
+    (VERDICT r2 #6: replaces the Catalyst zip_with/aggregate chain on
+    array<double>, ~10x per-batch).
+
+    Deterministic to the bit ACROSS ENGINES, not just across executors:
+    vectors quantize to fixed point (floor(v * 2^20), exact in binary FP),
+    so dot products and squared norms are exact integers < 2^48 — every
+    double that touches an inexact operation (sqrt, divide) is IEEE
+    correctly-rounded from exact inputs, and the SQL oracle reproduces
+    the identical value with list_dot_product over the same quantized
+    lists. Summation order cannot matter because no rounding ever happens
+    in the sums."""
+
+    def task(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            ia = b.column(id_a).to_numpy()
+            ib = b.column(id_b).to_numpy()
+            fa = b.column(va).flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            fb = b.column(vb).flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            A = np.floor(fa * LSH_SCALE).astype(np.int64).reshape(n, -1)
+            B = np.floor(fb * LSH_SCALE).astype(np.int64).reshape(n, -1)
+            dot = np.einsum("ij,ij->i", A, B)          # exact int64
+            na = np.einsum("ij,ij->i", A, A)
+            nb = np.einsum("ij,ij->i", B, B)
+            m = 10.0 ** round_to
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.floor(dot / (np.sqrt(na) * np.sqrt(nb)) * m) / m
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ia, type=pa.int64()),
+                 pa.array(ib, type=pa.int64()),
+                 pa.array(cos, type=pa.float64())],
+                names=[id_a, id_b, "cosine"])
+
+    return pairs.mapInArrow(task, f"{id_a} long, {id_b} long, cosine double")
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic gaussian-ish hyperplanes from splitmix64 lanes
     (sum of 4 uniforms, CLT-normalized) — identical on every executor."""
@@ -113,7 +158,8 @@ def lsh_bucket_signatures(df: DataFrame, n_planes: int = 16,
     sign, and therefore the bucket, is bit-deterministic across executors,
     engines, and BLAS summation orders. numpy int64 matmul per Arrow batch;
     zero per-row Python."""
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    src = _spread(df.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v")))
     state = {"planes": None}
 
     def task(batches):
@@ -160,14 +206,12 @@ def lsh_cosine_candidates(df: DataFrame, n_planes: int = 12, bands: int = 3,
     r = bk.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (l.join(r, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    va = df.select(F.col(id_col).alias("id_a"),
-                   F.col(vec_col).cast("array<double>").alias("va"))
-    vb = df.select(F.col(id_col).alias("id_b"),
-                   F.col(vec_col).cast("array<double>").alias("vb"))
-    return (cand.join(va, "id_a").join(vb, "id_b")
-            .withColumn("cosine", trunc(_cosine(F.col("va"),
-                                                 F.col("vb")), 4))
-            .filter(F.col("cosine") >= threshold)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    scored = _pair_cosine_quantized(
+        cand.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", "va", "vb"), "id_a", "id_b", "va", "vb")
+    return (scored.filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
 
 
@@ -184,7 +228,8 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
     lowbias32 integer centroids, ties broken by lower centroid id), so the
     assignment is bit-deterministic and reproducible in plain SQL — the
     driver oracle checks the quantizer itself."""
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    src = _spread(df.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v")))
     state = {"cents": None}
 
     def task(batches):
@@ -213,7 +258,8 @@ def _int_scores(df: DataFrame, n_centroids: int, seed: int,
                 id_col: str, vec_col: str) -> DataFrame:
     """(id, centroid, score) — exact integer inner products against every
     centroid (the ranking surface behind ivf_assign / probe selection)."""
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    src = _spread(df.select(F.col(id_col).alias("id"),
+                            F.col(vec_col).alias("v")))
     state = {"cents": None}
 
     def task(batches):
@@ -263,15 +309,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .filter(F.col("prk") <= nprobe)
               .select(F.col("id").alias("query_id"), "centroid"))
     qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).cast("array<double>").alias("qv"))
+                        F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).cast("array<double>").alias("cv"))
+                       F.col(vec_col).alias("cv"))
     cand = (F.broadcast(probes).join(ca, "centroid")
             .filter(F.col("query_id") != F.col("neighbor_id"))
             .select("query_id", "neighbor_id"))
-    scored = (cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
-              .withColumn("cosine", trunc(_cosine(F.col("qv"),
-                                                   F.col("cv")), 4)))
+    scored = _pair_cosine_quantized(
+        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+            .select("query_id", "neighbor_id", "qv", "cv"),
+        "query_id", "neighbor_id", "qv", "cv")
     rw = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rk", F.row_number().over(rw))
