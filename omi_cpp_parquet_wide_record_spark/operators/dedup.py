@@ -157,9 +157,16 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     prefix = sized.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
         + F.lit(1))
-    a = prefix.select(F.col("id").alias("id_a"), "sh")
-    b = prefix.select(F.col("id").alias("id_b"), "sh")
-    cand = (a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+    # size filter (provably safe): J >= t forces t*|b| <= |a| <= |b|/t,
+    # so mismatched-size pairs never reach the verify joins
+    a = prefix.select(F.col("id").alias("id_a"), "sh",
+                      F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("id").alias("id_b"), "sh",
+                      F.col("sz").alias("sz_b"))
+    cand = (a.join(b, "sh")
+             .filter((F.col("id_a") < F.col("id_b"))
+                     & (F.col("sz_a") * F.lit(threshold) <= F.col("sz_b"))
+                     & (F.col("sz_b") * F.lit(threshold) <= F.col("sz_a")))
              .select("id_a", "id_b").distinct())
     # verify stage as POSTING-LIST intersection counts (VERDICT r2 #2):
     # route each candidate pair through the (id, sh) posting rows twice —
