@@ -91,3 +91,54 @@ def test_fixed_point_quantization_is_exact(vals):
     for x, qq in zip(v32.tolist(), q.tolist()):
         assert qq == int(np.floor(float(np.float32(x)) * LSH_SCALE))
     assert (np.abs(q) * 1000 * 64 < 2**63).all()
+
+
+def test_rolling_fingerprint_is_composable():
+    """The r3 Rabin-Karp fingerprint must satisfy the rolling property it
+    advertises: fp(a || b) == (fp(a) * B^len(b) + poly(b)) mod p, so
+    chunk-boundary fingerprints compose without re-reading bytes."""
+    P, B = 2147483647, 257
+    seed0 = (42 * 1000003 + 1) % P
+
+    def poly(s: bytes) -> int:
+        acc = 0
+        for c in s:
+            acc = (acc * B + c) % P
+        return acc
+
+    def fp(s: bytes) -> int:
+        acc = seed0
+        for c in s:
+            acc = (acc * B + c) % P
+        return acc
+
+    import random
+    rnd = random.Random(9)
+    for _ in range(50):
+        a = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 300)))
+        b = bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 300)))
+        assert fp(a + b) == (fp(a) * pow(B, len(b), P) + poly(b)) % P
+
+
+def test_rolling_fingerprint_kernel_matches_definition(spark):
+    """The whole-batch numpy kernel (powers table + reduceat) must equal
+    the scalar Horner definition byte for byte, including empty strings
+    and mixed lengths in one batch."""
+    from omi_cpp_parquet_wide_record_spark.operators.dedup import (
+        rolling_fingerprints,
+    )
+    P, B = 2147483647, 257
+    seed0 = (42 * 1000003 + 1) % P
+
+    def fp(s: bytes) -> int:
+        acc = seed0
+        for c in s:
+            acc = (acc * B + c) % P
+        return acc
+
+    texts = ["", "a", "hello world", "x" * 5000, "the quick brown fox",
+             "", "zz"]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.id: r.fp for r in rolling_fingerprints(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == fp(t.encode()), (i, t[:20])

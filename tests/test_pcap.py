@@ -229,3 +229,39 @@ def _timed(fn, *args):
     t0 = time.time()
     fn(*args)
     return time.time() - t0
+
+
+def test_frame_walk_fallback_on_clock_jump_and_zero_len():
+    """The vectorized framer's sec-plausibility filter can drop true
+    boundaries when the capture clock jumps wildly mid-file; the scalar
+    mop-up must recover them so the result still equals the sequential
+    reference walk. Also covers zero-length records (incl=0 advances the
+    chain by exactly the 16-byte header)."""
+    import numpy as np
+    from omi_cpp_parquet_wide_record_spark.sources.pcap import (
+        _scalar_walk, frame_records,
+    )
+    rng = np.random.default_rng(3)
+    buf = bytearray(b"\xd4\xc3\xb2\xa1" + bytes(20))
+    n = 4000
+    for i in range(n):
+        if i % 7 == 3:
+            L = 0                            # zero-length record
+        else:
+            L = int(rng.choice([60, 74, 118]))
+        # clock jumps ~300 years mid-file, far outside the +/-1 top-byte
+        # window derived from the first record
+        sec = 1_700_000_000 if i < n // 2 else 11_400_000_000 % (1 << 32)
+        buf += (sec.to_bytes(4, "little") + (i).to_bytes(4, "little")
+                + L.to_bytes(4, "little") * 2)
+        buf += bytes(L)
+    # force the buffer over the scalar cutoff so the vectorized path runs
+    pad = 300 << 10
+    buf += (1_700_000_000).to_bytes(4, "little") + (0).to_bytes(4, "little") \
+        + pad.to_bytes(4, "little") * 2 + bytes(pad)
+    data = bytes(buf)
+    assert len(data) > 256 << 10
+    sec, usec, offs, lens = frame_records(data)
+    ref = _scalar_walk(data, len(data), 24, False)
+    assert np.array_equal(offs - 16, np.asarray(ref))
+    assert len(offs) == n + 1
