@@ -293,6 +293,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("id", F.md5("media").alias("resize_md5"))
 
     def _metrics(s, d):
+        """Manifest metrics rollup, oracle-checked as an ACCOUNTING
+        invariant: per column, the manifest's summed rows and bytes_in
+        (plain-equivalent input bytes) must equal what DuckDB recomputes
+        from the raw table (fixed width x rows; utf8 bytes + 4/len for
+        strings). Codec choices and bytes_out stay engine-internal (no
+        external oracle can rederive a decision), but the sizes the
+        engine CLAIMS to have consumed are now independently audited."""
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
         cols = ["doc_id", "text", "lang", "source", "n_chars"]
         _roundtrip(s, d, "documents", cols, {}, "auto")
@@ -301,11 +308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = ChunkStore(_store_path(d, "documents", cols, {}, "auto")) \
             .manifest_table()
         mdf = s.createDataFrame(m.to_pandas())
-        return (mdf.groupBy("codec")
-                .agg(F.sum("bytes_in").alias("bytes_in"),
-                     F.sum("bytes_out").alias("bytes_out"),
-                     F.count(F.lit(1)).alias("chunks")))
-    q["encode_metrics_rollup"] = _metrics                  # rows-only check
+        return (mdf.groupBy(F.col("column").alias("col"))
+                .agg(F.sum("rows").alias("rows"),
+                     F.sum("bytes_in").alias("bytes_in")))
+    q["encode_metrics_rollup"] = _metrics
 
     # ---------------- engine core: per-codec bit-identity roundtrips (O11/O13)
     q["o11_encode_roundtrip"] = lambda s, d: _roundtrip(
@@ -1261,6 +1267,23 @@ def oracle_sql() -> dict[str, str]:
     sql["mm_resize"] = (
         f"SELECT id, resize_md5 FROM read_parquet('{golden_media}') "
         "WHERE id IN (SELECT doc_id FROM documents)")
+
+    # the engine's manifest bytes_in accounting vs an independent
+    # recomputation of the plain-equivalent sizes (int64 = 8/row,
+    # string = utf8 bytes + 4/row length slot)
+    sql["encode_metrics_rollup"] = (
+        "SELECT 'doc_id' AS col, count(*) AS rows, "
+        "8 * count(*) AS bytes_in FROM documents "
+        "UNION ALL SELECT 'text', count(*), "
+        "CAST(sum(octet_length(encode(text))) + 4 * count(*) AS BIGINT) "
+        "FROM documents "
+        "UNION ALL SELECT 'lang', count(*), "
+        "CAST(sum(octet_length(encode(lang))) + 4 * count(*) AS BIGINT) "
+        "FROM documents "
+        "UNION ALL SELECT 'source', count(*), "
+        "CAST(sum(octet_length(encode(source))) + 4 * count(*) AS BIGINT) "
+        "FROM documents "
+        "UNION ALL SELECT 'n_chars', count(*), 8 * count(*) FROM documents")
 
     sql["streaming_tumbling_counts"] = (
         "SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_us,"
