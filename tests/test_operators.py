@@ -479,3 +479,29 @@ def test_corpus_curation(spark, docs):
     assert 5 not in kept      # near dup of 0 (higher id) dropped
     assert 3 in kept          # German doc passes the lang gate
     assert 4 not in kept      # no marker words -> lang 'und' -> gated out
+
+
+def test_ngram_prefix_ppjoin_bound_exact_random(spark):
+    """The PPJoin positional + size prunes must preserve the exact pair
+    set on a randomized shared-vocab corpus across thresholds (the bound
+    only ever removes pairs the verify would reject)."""
+    import random
+    rnd = random.Random(1234)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(160):
+        base = [rnd.choice(vocab) for _ in range(rnd.randrange(8, 40))]
+        rows.append((i, " ".join(base)))
+        if i % 5 == 0:                       # planted near-duplicates
+            mut = list(base)
+            for _ in range(rnd.randrange(0, 3)):
+                mut[rnd.randrange(len(mut))] = rnd.choice(vocab)
+            rows.append((1000 + i, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        brute = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
+            df, threshold=t, n=2, max_doc_freq=None).collect())
+        pref = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs_prefix(
+            df, threshold=t, n=2).collect())
+        assert brute == pref, t
+        assert len(pref) > 0, t
