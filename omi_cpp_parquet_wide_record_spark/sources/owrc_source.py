@@ -33,8 +33,11 @@ from pyspark.sql.datasource import (
 
 
 class OwrcInputPartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, deletes: list[tuple[str, str]] = ()):  # noqa: B006
         self.path = path
+        # [(delete_file_path, key_col), ...] applicable to THIS chunk's
+        # commit epoch (sequence-scoped, matching decode_store semantics)
+        self.deletes = list(deletes)
 
 
 class OwrcReader(DataSourceReader):
@@ -63,25 +66,72 @@ class OwrcReader(DataSourceReader):
 
     def partitions(self):
         import os
+        import pyarrow.parquet as pq
         from omi_cpp_parquet_wide_record_spark.operators.decode import (
             prune_files,
         )
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
         store = ChunkStore(self.root)
-        manifest = store.manifest_table()
+        snap = store.current_snapshot()
+        manifest = store.manifest_table(snap)
         if self._zone_filters:
             files = prune_files(manifest, self._zone_filters)
         else:
             files = sorted(set(manifest.column("chunk_file").to_pylist()))
-        return [OwrcInputPartition(os.path.join(store.chunks_dir, f))
+        deletes = store.delete_files(snap)
+        commit_n: dict[str, int] = {}
+        if deletes and any(d.get("n") is not None for d in deletes):
+            for m in snap["manifests"]:
+                n_m = int(m.split("-")[1])
+                t = pq.read_table(os.path.join(store.manifests_dir, m),
+                                  columns=["chunk_file"])
+                for fname in set(t.column("chunk_file").to_pylist()):
+                    commit_n.setdefault(fname, n_m)
+
+        def applicable(fname: str) -> list[tuple[str, str]]:
+            # a delete committed at snapshot n applies only to chunks
+            # from earlier commits (Iceberg sequence-number scoping),
+            # mirroring decode_store
+            out = []
+            for d in deletes:
+                if d.get("n") is not None and \
+                        commit_n.get(fname, 0) >= int(d["n"]):
+                    continue
+                out.append((os.path.join(store.deletes_dir, d["file"]),
+                            d["key"]))
+            return out
+
+        return [OwrcInputPartition(os.path.join(store.chunks_dir, f),
+                                   applicable(f))
                 for f in files]
 
     def read(self, partition: OwrcInputPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
         from omi_cpp_parquet_wide_record_spark.operators.decode import (
             read_chunk_file,
         )
         cols = [f.name for f in self.schema.fields]
-        table = read_chunk_file(partition.path, columns=cols)
+        del_keys = [k for _, k in partition.deletes if k not in cols]
+        table = read_chunk_file(partition.path,
+                                columns=cols + del_keys)
+        # merge-on-read equality deletes (sequence-scoped in partitions())
+        for dpath, key in partition.deletes:
+            if key not in table.schema.names:
+                continue     # chunk predates the key column: nothing matches
+            keys = pq.read_table(dpath, columns=[key]).column(key)
+            table = table.filter(
+                pc.invert(pc.is_in(table.column(key),
+                                   value_set=keys.combine_chunks())))
+        # schema evolution: null-fill columns added after this chunk
+        # committed (same read-time semantics as decode_store)
+        from pyspark.sql.pandas.types import to_arrow_schema
+        target = to_arrow_schema(self.schema)
+        for f in target:
+            if f.name not in table.schema.names:
+                table = table.append_column(
+                    f.name, pa.nulls(table.num_rows, type=f.type))
         yield from table.select(cols).to_batches()
 
 
@@ -173,9 +223,14 @@ class OwrcDataSource(DataSource):
         return "owrc"
 
     def schema(self):
+        import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
-        return from_arrow_schema(ChunkStore(self.options["path"]).arrow_schema())
+        s = ChunkStore(self.options["path"]).arrow_schema()
+        # nullable like decode_store: add-column evolution null-fills rows
+        # from chunks committed before a column existed
+        return from_arrow_schema(pa.schema(
+            [pa.field(f.name, f.type, nullable=True) for f in s]))
 
     def reader(self, schema):
         return OwrcReader(schema, self.options)

@@ -448,3 +448,41 @@ def test_fsst_truncated_trailing_marker():
     corrupt[3] = bytes(corrupt[3]) + b"\xff"
     with pytest.raises(ValueError, match="escape marker"):
         codec.decode(corrupt, params)
+
+
+def test_owrc_reader_applies_deletes_and_evolution(spark, tmp_path):
+    """format('owrc') reads must match decode_store on stores with
+    merge-on-read deletes (sequence-scoped: re-inserted keys visible) and
+    add-column evolution (old chunks null-fill) — the DataSource path
+    used to bypass both."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows,
+    )
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("old"), F.col("id")).alias("s")), out,
+        salt_key="id", num_pids=2)
+    delete_rows(out, spark.range(0, 10).select("id"), "id")
+    # re-insert 0..4 AND evolve: the new commit adds column v
+    encode_dataframe(spark.range(0, 5).select(
+        F.col("id"), F.concat(F.lit("new"), F.col("id")).alias("s"),
+        (F.col("id") * 10).alias("v")), out,
+        salt_key="id", num_pids=2, resume=False)
+    spark.dataSource.register(OwrcDataSource)
+    got = spark.read.format("owrc").load(out)
+    assert set(got.columns) == {"id", "s", "v"}
+    rows = {r.id: (r.s, r.v) for r in got.collect()}
+    assert len(rows) == 95                       # 100 - 10 deleted + 5 new
+    assert rows[0] == ("new0", 0)                # re-inserted, visible
+    assert rows[4] == ("new4", 40)
+    assert 5 not in rows and 9 not in rows       # deleted, not re-inserted
+    assert rows[50] == ("old50", None)           # evolution null-fill
+    # projection that drops the delete-key column still applies deletes
+    assert spark.read.format("owrc").load(out).select("s").count() == 95
