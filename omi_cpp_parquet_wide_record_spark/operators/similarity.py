@@ -258,8 +258,9 @@ def _int_scores(df: DataFrame, n_centroids: int, seed: int,
                 id_col: str, vec_col: str) -> DataFrame:
     """(id, centroid, score) — exact integer inner products against every
     centroid (the ranking surface behind ivf_assign / probe selection)."""
-    src = _spread(df.select(F.col(id_col).alias("id"),
-                            F.col(vec_col).alias("v")))
+    # queries are small (broadcast side): spreading them into
+    # parallelism-many tiny tasks costs more than the kernel saves
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     state = {"cents": None}
 
     def task(batches):
