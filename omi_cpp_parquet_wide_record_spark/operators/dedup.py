@@ -5,14 +5,15 @@ Four tiers, from cheapest to fuzziest, all shuffle-aware:
 - exact:        hash-groupBy on a text fingerprint (one shuffle, map-side
                 partial agg; the fingerprint keeps the shuffle narrow — hashes
                 travel, not documents)
-- ngram-jaccard: exact n-gram-set Jaccard via a distinct-shingle self-join —
-                the candidate join hits only docs sharing a shingle; a
-                document-frequency cap drops stop-shingles so the hot keys
-                that would quadratically blow up the join never shuffle
+- ngram-jaccard: exact n-gram-set Jaccard. Scale path = PPJoin-style
+                prefix filtering (df-ordered prefixes + positional and
+                size bounds), verified by narrow posting-list joins; a
+                capped-join variant is kept as the hot-key-guard idiom
 - minhash-LSH:  vectorized MinHash signatures (numpy, mapInArrow) banded into
                 buckets; candidate pairs emerge from a bucket groupBy —
                 the classic sub-quadratic near-dup path at 10^12 docs
-- simhash:      64-bit SimHash + banded Hamming blocking
+- simhash:      62-bit mod-p SimHash (SQL-reproducible) + banded Hamming
+                blocking
 
 All kernels are whole-array numpy (north rule); everything else is DataFrame
 ops Catalyst can push around.
