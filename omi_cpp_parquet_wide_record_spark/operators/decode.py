@@ -87,14 +87,20 @@ def prune_files(manifest: pa.Table,
     filters = [(c, op, _norm(v)) for c, op, v in filters]
     keep: dict[str, bool] = {}
     stats: dict[tuple[str, str], tuple] = {}
+    blooms: dict[tuple[str, str], str] = {}
+    has_bloom_col = "bloom" in manifest.schema.names
     for i in range(manifest.num_rows):
         f = manifest.column("chunk_file")[i].as_py()
         keep.setdefault(f, True)
+        col = manifest.column("column")[i].as_py()
         smin = manifest.column("stat_min")[i].as_py()
         smax = manifest.column("stat_max")[i].as_py()
         if smin is not None:
-            stats[(f, manifest.column("column")[i].as_py())] = (
-                _json.loads(smin), _json.loads(smax))
+            stats[(f, col)] = (_json.loads(smin), _json.loads(smax))
+        if has_bloom_col:
+            bl = manifest.column("bloom")[i].as_py()
+            if bl is not None:
+                blooms[(f, col)] = bl
     for (f, col), (lo, hi) in stats.items():
         for fc, op, v in filters:
             if fc != col or op not in _PRUNE_OPS:
@@ -105,6 +111,22 @@ def prune_files(manifest: pa.Table,
                 continue   # type-mismatched filter: never prune on it
             if not satisfiable:
                 keep[f] = False
+    # bloom pruning for equality on bytes-like columns: min/max ranges on
+    # high-cardinality strings rarely exclude anything, the bitset does.
+    # Missing blooms conservatively read as "may contain".
+    eq_str = [(c, v) for c, op, v in filters
+              if op == "==" and isinstance(v, (str, bytes))]
+    if eq_str and blooms:
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            bloom_might_contain,
+        )
+        for (f, col), bl in blooms.items():
+            for fc, v in eq_str:
+                if fc != col:
+                    continue
+                vb = v.encode() if isinstance(v, str) else v
+                if not bloom_might_contain(bl, vb):
+                    keep[f] = False
     return sorted(f for f, k in keep.items() if k)
 
 

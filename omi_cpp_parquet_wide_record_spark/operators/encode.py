@@ -100,6 +100,91 @@ def _column_stats(arr: pa.Array) -> tuple[str | None, str | None]:
     return json.dumps(lo), json.dumps(hi)
 
 
+BLOOM_P = 2147483647          # 2^31 - 1 (BIGINT-safe mod-p hashing)
+BLOOM_MAX_ROWS = 8192         # beyond this a fixed bitset saturates
+BLOOM_BITS = 8192             # 1 KB per chunk column
+BLOOM_K = 4
+_BLOOM_POWERS: dict[int, "np.ndarray"] = {}
+
+
+def _bloom_powers(base: int, upto: int) -> "np.ndarray":
+    """pw[k] = base^k mod p, grown on demand and cached per process."""
+    pw = _BLOOM_POWERS.get(base)
+    if pw is None or len(pw) <= upto:
+        n = max(upto + 1, 1024)
+        out = np.ones(n, dtype=np.int64)
+        for k in range(1, n):
+            out[k] = (out[k - 1] * base) % BLOOM_P
+        _BLOOM_POWERS[base] = pw = out
+    return pw
+
+
+def _bloom_value_hashes(lens: "np.ndarray", corpus: "np.ndarray",
+                        base: int) -> "np.ndarray":
+    """Whole-batch polynomial hash mod p per value (reduceat fold — the
+    same vectorized shape as dedup.rolling_fingerprints)."""
+    n = len(lens)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    maxlen = int(lens.max()) if n else 0
+    pw = _bloom_powers(base, maxlen)
+    seg = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=seg[1:])
+    pos = np.arange(int(seg[-1]), dtype=np.int64) - np.repeat(seg[:-1], lens)
+    expo = np.repeat(lens, lens) - 1 - pos
+    terms = (corpus.astype(np.int64) * pw[expo]) % BLOOM_P
+    if len(terms):
+        idx = np.minimum(seg[:-1], len(terms) - 1)
+        sums = np.add.reduceat(terms, idx)
+    else:
+        sums = np.zeros(n, dtype=np.int64)
+    return np.where(lens > 0, sums, 0) % BLOOM_P
+
+
+def _column_bloom(arr: pa.Array) -> str | None:
+    """Base64 Bloom bitset over a bytes-like chunk column (Iceberg-style
+    bloom metadata): k=4 Kirsch-Mitzenmacher indexes from two mod-p
+    polynomial hashes. None for non-bytes types, oversized chunks, or
+    all-null columns — readers treat missing blooms as 'may contain'."""
+    t = arr.type
+    if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+        return None
+    if len(arr) == 0 or len(arr) > BLOOM_MAX_ROWS:
+        return None
+    nn = arr.drop_null() if arr.null_count else arr
+    if len(nn) == 0:
+        return None
+    from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
+    lens, corpus_mv = bytes_block(nn.cast(pa.large_binary()))
+    corpus = np.frombuffer(corpus_mv, dtype=np.uint8)
+    lens = lens.astype(np.int64)
+    h1 = _bloom_value_hashes(lens, corpus, 257)
+    h2 = _bloom_value_hashes(lens, corpus, 263)
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    for i in range(BLOOM_K):
+        bits[(h1 + i * h2) % BLOOM_BITS] = True
+    import base64
+    return base64.b64encode(np.packbits(bits).tobytes()).decode()
+
+
+def bloom_might_contain(bloom_b64: str, value: bytes) -> bool:
+    """Driver-side membership probe (must mirror _column_bloom exactly)."""
+    import base64
+    bits = np.unpackbits(np.frombuffer(base64.b64decode(bloom_b64),
+                                       dtype=np.uint8))
+    h1 = h2 = 0
+    for b1, acc in ((257, "h1"), (263, "h2")):
+        a = 0
+        for c in value:
+            a = (a * b1 + c) % BLOOM_P
+        if acc == "h1":
+            h1 = a
+        else:
+            h2 = a
+    return all(bits[(h1 + i * h2) % BLOOM_BITS] for i in range(BLOOM_K))
+
+
 def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
                  plan_cache: dict, run_id: str, tag: str,
                  overrides: dict | None = None,
@@ -155,6 +240,7 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
             "bytes_out": len(enc.payload), "offset": offset,
             "length": len(enc.payload), "sha256": digest, "run_id": run_id,
             "stat_min": smin, "stat_max": smax,
+            "bloom": _column_bloom(arr),
         })
         footer_cols.append({"name": name, "codec": enc.codec,
                             "params": enc.params, "offset": offset,
@@ -323,7 +409,7 @@ def _manifest_ddl() -> str:
     return ("chunk_file string, pid int, seq int, column string, codec string,"
             " params string, rows long, nulls long, bytes_in long,"
             " bytes_out long, offset long, length long, sha256 string,"
-            " run_id string, stat_min string, stat_max string")
+            " run_id string, stat_min string, stat_max string, bloom string")
 
 
 def _spark_to_arrow_schema(df: DataFrame) -> pa.Schema:

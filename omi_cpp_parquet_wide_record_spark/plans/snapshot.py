@@ -52,6 +52,11 @@ MANIFEST_SCHEMA = pa.schema([
     # files whose stats cannot satisfy a predicate
     ("stat_min", pa.string()),
     ("stat_max", pa.string()),
+    # per-chunk Bloom filter over bytes-like columns (Iceberg's
+    # bloom-filter metadata): base64 bitset for equality pruning where
+    # min/max ranges are too wide to help (high-cardinality urls).
+    # Nullable — older manifests pad, non-eligible columns stay null.
+    ("bloom", pa.string()),
 ])
 
 

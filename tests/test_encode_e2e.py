@@ -486,3 +486,41 @@ def test_owrc_reader_applies_deletes_and_evolution(spark, tmp_path):
     assert rows[50] == ("old50", None)           # evolution null-fill
     # projection that drops the delete-key column still applies deletes
     assert spark.read.format("owrc").load(out).select("s").count() == 95
+
+
+def test_bloom_filter_pruning_on_equality(spark, tmp_path):
+    """Per-chunk Bloom filters prune point lookups on high-cardinality
+    string columns where min/max ranges exclude nothing. Missing blooms
+    stay conservative; results equal a post-hoc filter."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        decode_store, prune_files,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    out = str(tmp_path / "store")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.concat(F.lit("https://example.org/page/"), F.col("id"))
+         .alias("url"))
+    encode_dataframe(df, out, salt_key="url", num_pids=16)
+    m = ChunkStore(out).manifest_table()
+    n_files = len(set(m.column("chunk_file").to_pylist()))
+    assert n_files >= 8
+    # the target url lives in exactly one content-derived pid: bloom
+    # pruning must cut the candidate file set hard (fpr ~1e-3)
+    hit = prune_files(m, [("url", "==", "https://example.org/page/1234")])
+    assert 1 <= len(hit) < n_files / 2, (len(hit), n_files)
+    got = decode_store(spark, out,
+                       filters=[("url", "==",
+                                 "https://example.org/page/1234")]).collect()
+    assert len(got) == 1 and got[0].id == 1234
+    # absent value: bloom prunes everything (or nearly), result is empty
+    miss = decode_store(spark, out,
+                        filters=[("url", "==", "nope://missing")]).count()
+    assert miss == 0
+    # int equality still handled by zone maps (bloom only on bytes-like)
+    one = decode_store(spark, out, filters=[("id", "==", 77)]).collect()
+    assert len(one) == 1 and one[0].url.endswith("/77")
