@@ -70,7 +70,7 @@ def main() -> int:
     # single measurements swing 2x.
     num_pids = max(cpus, min(cpus * 8, rows * 5200 // (2 << 20)))
     timings["encode_web"] = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(store_dir, ignore_errors=True)
         t0 = time.time()
         res = encode_dataframe(corpus, store_dir, partition_by=["lang"],
@@ -79,7 +79,7 @@ def main() -> int:
             min(timings["encode_web"], time.time() - t0), 3)
 
     timings["decode_web"] = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         decoded_rows = decode_store(spark, store_dir).count()
         timings["decode_web"] = round(
