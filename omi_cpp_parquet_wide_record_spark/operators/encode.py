@@ -104,47 +104,18 @@ BLOOM_P = 2147483647          # 2^31 - 1 (BIGINT-safe mod-p hashing)
 BLOOM_MAX_ROWS = 8192         # beyond this a fixed bitset saturates
 BLOOM_BITS = 8192             # 1 KB per chunk column
 BLOOM_K = 4
-_BLOOM_POWERS: dict[int, "np.ndarray"] = {}
-
-
-def _bloom_powers(base: int, upto: int) -> "np.ndarray":
-    """pw[k] = base^k mod p, grown on demand and cached per process."""
-    pw = _BLOOM_POWERS.get(base)
-    if pw is None or len(pw) <= upto:
-        n = max(upto + 1, 1024)
-        out = np.ones(n, dtype=np.int64)
-        for k in range(1, n):
-            out[k] = (out[k - 1] * base) % BLOOM_P
-        _BLOOM_POWERS[base] = pw = out
-    return pw
-
-
-def _bloom_value_hashes(lens: "np.ndarray", corpus: "np.ndarray",
-                        base: int) -> "np.ndarray":
-    """Whole-batch polynomial hash mod p per value (reduceat fold — the
-    same vectorized shape as dedup.rolling_fingerprints)."""
-    n = len(lens)
-    if n == 0:
-        return np.zeros(0, dtype=np.int64)
-    maxlen = int(lens.max()) if n else 0
-    pw = _bloom_powers(base, maxlen)
-    seg = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=seg[1:])
-    pos = np.arange(int(seg[-1]), dtype=np.int64) - np.repeat(seg[:-1], lens)
-    expo = np.repeat(lens, lens) - 1 - pos
-    terms = (corpus.astype(np.int64) * pw[expo]) % BLOOM_P
-    if len(terms):
-        idx = np.minimum(seg[:-1], len(terms) - 1)
-        sums = np.add.reduceat(terms, idx)
-    else:
-        sums = np.zeros(n, dtype=np.int64)
-    return np.where(lens > 0, sums, 0) % BLOOM_P
+BLOOM_PREFIX = 64             # hash only each value's first 64 bytes:
+#                               equal values have equal prefixes, so
+#                               pruning on the prefix hash stays SOUND —
+#                               and building a bloom over a fat html
+#                               column costs O(64/row), not a second
+#                               full pass over the corpus
 
 
 def _column_bloom(arr: pa.Array) -> str | None:
     """Base64 Bloom bitset over a bytes-like chunk column (Iceberg-style
-    bloom metadata): k=4 Kirsch-Mitzenmacher indexes from two mod-p
-    polynomial hashes. None for non-bytes types, oversized chunks, or
+    bloom metadata): k=4 Kirsch-Mitzenmacher indexes from two capped
+    mod-p Horner hashes. None for non-bytes types, oversized chunks, or
     all-null columns — readers treat missing blooms as 'may contain'."""
     t = arr.type
     if not (pa.types.is_string(t) or pa.types.is_large_string(t)
@@ -156,11 +127,13 @@ def _column_bloom(arr: pa.Array) -> str | None:
     if len(nn) == 0:
         return None
     from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
+    from omi_cpp_parquet_wide_record_spark.operators.dedup import (
+        _token_hashes_modp,
+    )
     lens, corpus_mv = bytes_block(nn.cast(pa.large_binary()))
     corpus = np.frombuffer(corpus_mv, dtype=np.uint8)
-    lens = lens.astype(np.int64)
-    h1 = _bloom_value_hashes(lens, corpus, 257)
-    h2 = _bloom_value_hashes(lens, corpus, 263)
+    h1 = _token_hashes_modp(corpus, lens, 257, 1, cap=BLOOM_PREFIX)
+    h2 = _token_hashes_modp(corpus, lens, 263, 1, cap=BLOOM_PREFIX)
     bits = np.zeros(BLOOM_BITS, dtype=bool)
     for i in range(BLOOM_K):
         bits[(h1 + i * h2) % BLOOM_BITS] = True
@@ -173,15 +146,13 @@ def bloom_might_contain(bloom_b64: str, value: bytes) -> bool:
     import base64
     bits = np.unpackbits(np.frombuffer(base64.b64decode(bloom_b64),
                                        dtype=np.uint8))
-    h1 = h2 = 0
-    for b1, acc in ((257, "h1"), (263, "h2")):
-        a = 0
-        for c in value:
-            a = (a * b1 + c) % BLOOM_P
-        if acc == "h1":
-            h1 = a
-        else:
-            h2 = a
+    hashes = []
+    for base in (257, 263):
+        a = 1 % BLOOM_P
+        for c in value[:BLOOM_PREFIX]:
+            a = (a * base + c) % BLOOM_P
+        hashes.append(a)
+    h1, h2 = hashes
     return all(bits[(h1 + i * h2) % BLOOM_BITS] for i in range(BLOOM_K))
 
 
