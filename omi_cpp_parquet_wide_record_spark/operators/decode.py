@@ -242,7 +242,7 @@ def decode_store(spark: SparkSession, out_dir: str,
             df = df.join(F.broadcast(keys), d["key"], "left_anti")
         return df
 
-    if need_seq:
+    if need_seq and files:
         epochs = sorted({commit_n.get(f, 0) for f in files})
         branches = [
             apply_deletes(scan([f for f in files
@@ -252,6 +252,7 @@ def decode_store(spark: SparkSession, out_dir: str,
         for b in branches[1:]:
             out = out.unionAll(b)
     else:
+        # includes the everything-pruned case: scan([]) is an empty scan
         out = apply_deletes(scan(files), None)
     if filters:
         # exact residual filter over the surviving chunks (pruning is
