@@ -57,8 +57,12 @@ _NKEYS = _KSPACE * _KSPACE
 
 # replay-block / training-sample byte budgets: blocks must stay L2-resident
 # under full-core concurrency (token stream int16 + pair-key int32 + temps
-# ~= 7x the block bytes)
-TRAIN_BYTES_DEFAULT = 2 << 20
+# ~= 7x the block bytes). Training sample 512 KB: an r3 sweep over disjoint
+# corpus slices and chunk sizes (0.3-7 MB) showed 512 KB trains the same or
+# slightly better table (the finer stride samples more rows; min_count
+# scales down with the sample) at 1.5-1.9x the encode throughput of the
+# r2 2 MB budget; 256 KB starts to wobble the ratio on text columns.
+TRAIN_BYTES_DEFAULT = 512 << 10
 BLOCK_BYTES_DEFAULT = 1 << 20
 
 
@@ -93,9 +97,8 @@ def _train_and_tokenize(t: np.ndarray, rounds: int, per_round: int,
     for _ in range(rounds):
         if next_id - 256 >= MAX_CODES - 1 or len(t) < 2:
             break
-        # pair key = (left << 9) | right, in-place to avoid temporaries
-        k = t[:-1].astype(np.int32)
-        k <<= 9
+        # pair key = (left << 9) | right, one fused widening multiply
+        k = np.multiply(t[:-1], np.int32(_KSPACE), dtype=np.int32)
         k |= t[1:]
         counts = np.bincount(k, minlength=_NKEYS)
         counts[_SEP << 9:(_SEP + 1) << 9] = 0   # pairs with SEP on the left
@@ -143,12 +146,87 @@ def _select_nonoverlap(new_ids: np.ndarray) -> np.ndarray | None:
     marked_pos = np.flatnonzero(new_ids >= 0)
     if len(marked_pos) == 0:
         return None
-    run_start = np.empty(len(marked_pos), dtype=bool)
-    run_start[0] = True
-    np.not_equal(marked_pos[1:], marked_pos[:-1] + 1, out=run_start[1:])
-    anchor = np.where(run_start, marked_pos, 0)
+    # int32 position math: a replay block never exceeds ~1M tokens and even
+    # whole-chunk streams stay < 2^31, and the marked subset is reread ~6
+    # times below — halving its width halves the dominant traffic here
+    mp = marked_pos.astype(np.int32, copy=False)
+    d = np.empty(len(mp), dtype=np.int32)
+    d[0] = 2
+    np.subtract(mp[1:], mp[:-1], out=d[1:])
+    anchor = np.where(d > 1, mp, 0)
     np.maximum.accumulate(anchor, out=anchor)
-    return marked_pos[((marked_pos - anchor) & 1) == 0]
+    np.subtract(mp, anchor, out=d)
+    d &= 1
+    return mp[d == 0]
+
+
+def _round0_lut16(program) -> np.ndarray | None:
+    """uint16-keyed LUT for the FIRST merge round. Round-0 pairs are pure
+    byte pairs (both children < 256 — learned ids are only minted after the
+    round), so the (left<<9)|right training key converts losslessly to
+    (left<<8)|right over a 65,536-entry table. The table is 128 KB of int16
+    (L1/L2-resident vs the 512 KB full-keyspace LUT), and the key build
+    works on uint16 instead of int32 — round 0 sees the longest stream of
+    any round, so halving its key traffic matters under the 32-thread DRAM
+    ceiling. Returns None when the program is empty."""
+    if not program:
+        return None
+    keys, ids = program[0]
+    left, right = keys >> 9, keys & (_KSPACE - 1)
+    if len(left) and (left.max() >= 256 or right.max() >= 256):
+        return None   # defensive: not a byte-pair round, use the slow path
+    lut16 = np.full(65536, -1, dtype=np.int16)
+    lut16[(left << 8) | right] = ids
+    return lut16
+
+
+def _round0_raw(block: np.ndarray, bpos: np.ndarray,
+                lut16: np.ndarray) -> np.ndarray:
+    """Apply the first merge round directly on the raw uint8 block, then
+    emit the sentineled int16 stream for the remaining rounds.
+
+    Equivalent to _with_sentinels + one _apply_program round: pairs that
+    cross a row boundary are masked instead of split by a sentinel token —
+    masking position (row_start - 1) breaks the marked runs at exactly the
+    places the sentinel would have, so the greedy parity selection picks
+    the identical pair set (bit-identical output, asserted by tests)."""
+    n = len(block)
+    if n < 2:
+        return _with_sentinels(block, bpos)
+    k = block[:-1].astype(np.uint16)
+    k <<= 8
+    k |= block[1:]
+    ids = lut16[k]
+    inner = bpos[bpos > 0]
+    if len(inner):
+        ids[inner - 1] = -1          # pairs crossing a row boundary
+    sel = _select_nonoverlap(ids)
+    if sel is None:
+        return _with_sentinels(block, bpos)
+    t = block.astype(np.int16)
+    t[sel] = ids[sel]
+    keep = np.ones(n, dtype=bool)
+    keep[sel + 1] = False
+    t = t[keep]
+    # row starts in compacted coordinates: dropped positions are sel+1,
+    # all strictly inside rows, so a searchsorted over the (sorted) sel
+    # array replaces a full-length cumsum
+    new_bpos = bpos - np.searchsorted(sel, bpos - 1, side="left")
+    return _with_sentinels_tokens(t, new_bpos)
+
+
+def _with_sentinels_tokens(t: np.ndarray, start_pos: np.ndarray) -> np.ndarray:
+    """_with_sentinels for an already-int16 token stream."""
+    n = len(t)
+    if len(start_pos) == 0:
+        return t
+    is_start = np.zeros(n, dtype=bool)
+    is_start[start_pos] = True
+    dst = np.cumsum(is_start, dtype=np.int32)
+    dst += np.arange(n, dtype=np.int32)
+    out = np.full(n + len(start_pos), _SEP, dtype=np.int16)
+    out[dst] = t
+    return out
 
 
 def _apply_program(t: np.ndarray, program, lut: np.ndarray) -> np.ndarray:
@@ -159,15 +237,17 @@ def _apply_program(t: np.ndarray, program, lut: np.ndarray) -> np.ndarray:
         if len(t) < 2:
             break
         lut[keys] = ids
-        k = t[:-1].astype(np.int32)
-        k <<= 9
+        # one fused widening multiply instead of astype+shift (saves a
+        # full-length int32 pass per round)
+        k = np.multiply(t[:-1], np.int32(_KSPACE), dtype=np.int32)
         k |= t[1:]
         new_ids = lut[k]
         sel = _select_nonoverlap(new_ids)
         if sel is not None:
             t[sel] = new_ids[sel]
             keep = np.ones(len(t), dtype=bool)
-            keep[sel + 1] = False
+            sel += 1                   # done with sel: reuse in place
+            keep[sel] = False
             t = t[keep]
         lut[keys] = -1     # restore shared lut for the next round/block
     return t
@@ -341,6 +421,8 @@ class FsstCodec(Codec):
                  [n_rows])))
             cuts = cuts[cuts <= n_rows]
             lut = np.full(_NKEYS, -1, dtype=np.int16)
+            lut16 = _round0_lut16(prog)
+            rest = prog[1:] if lut16 is not None else prog
             parts = []
             for a, b in zip(cuts[:-1].tolist(), cuts[1:].tolist()):
                 lo, hi = int(starts[a]), int(starts[b])
@@ -348,8 +430,10 @@ class FsstCodec(Codec):
                     continue
                 bpos = start_pos[np.searchsorted(start_pos, lo):
                                  np.searchsorted(start_pos, hi)] - lo
-                parts.append(_apply_program(
-                    _with_sentinels(corpus[lo:hi], bpos), prog, lut))
+                tb = (_round0_raw(corpus[lo:hi], bpos, lut16)
+                      if lut16 is not None
+                      else _with_sentinels(corpus[lo:hi], bpos))
+                parts.append(_apply_program(tb, rest, lut))
             t = np.concatenate(parts) if parts \
                 else _with_sentinels(corpus, start_pos)
         table, enc_flat, enc_off, enc_w = _assign_codes(t, pairs)
