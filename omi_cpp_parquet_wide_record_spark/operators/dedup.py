@@ -80,15 +80,28 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------- n-gram jaccard
 
-def _shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """Distinct word n-grams per document, via JVM-side array functions."""
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str,
+                    n: int) -> DataFrame:
+    """Distinct word n-grams per document as int64 hashes, via JVM-side
+    array functions: (id, sh).
+
+    The shingle never exists as a string — each position hashes its n
+    words directly (multi-arg xxhash64), which skips the per-position
+    slice+concat allocations and shuffles 8-byte keys. Any injective
+    shingle representation gives identical pair semantics (shingles are
+    distinct per doc, so intersection counts survive hashing; collisions
+    ~2^-64), which is why the DuckDB oracle can keep using the literal
+    string form. Docs shorter than n words yield no shingles (matching
+    the oracle's empty range)."""
     words = F.split(F.col(text_col), " ")
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.when(k >= 1, F.transform(
         F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        lambda i: F.xxhash64(*[F.element_at(words, i + F.lit(j))
+                               for j in range(n)]))) \
+        .otherwise(F.array().cast("array<bigint>"))
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(grams)).alias("shingle")))
+                      F.explode(F.array_distinct(grams)).alias("sh")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
@@ -100,11 +113,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     max_doc_freq drops shingles appearing in more docs (stop-shingle cap —
     the skew guard that keeps the self-join sub-quadratic at corpus scale).
     """
-    # shingles shuffle as int64 xxhash64 values, not strings — ~5x fewer
-    # shuffle bytes with identical pair semantics (shingles are distinct per
-    # doc, so intersection counts survive hashing; collisions are ~2^-64)
-    sh = _shingles(df, text_col, id_col, n) \
-        .select("id", F.xxhash64("shingle").alias("shingle"))
+    sh = _shingle_hashes(df, text_col, id_col, n) \
+        .withColumnRenamed("sh", "shingle")
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
                  .filter(F.col("df") > max_doc_freq).select("shingle"))
@@ -143,16 +153,16 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     strict superset of true pairs, so the result is exactly the brute
     force's — oracle-identical by construction.
     """
-    sh = _shingles(df, text_col, id_col, n) \
-        .select("id", F.xxhash64("shingle").alias("sh"))
+    # the posting list feeds five consumers (document frequencies, prefix
+    # window, candidate self-join sides, both intersection joins, sizes) —
+    # persist the NARROW (id, sh) rows (2 longs) BEFORE the dfreq pass so
+    # the explode+hash subtree runs exactly once (persisting the joined
+    # rows instead, as r2 did, recomputed the shingles for the dfreq side)
+    sh = _rotate_cache("ngram_sh", _shingle_hashes(df, text_col, id_col, n))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    # the posting list feeds five consumers (prefix window, candidate
-    # self-join sides, both intersection joins, sizes) — persist the
-    # NARROW (id, sh, df) rows (3 longs) so the explode+hash+groupBy
-    # subtree runs once, not per consumer
-    sh = _rotate_cache("ngram_sh", sh.join(dfreq, "sh"))
     w = Window.partitionBy("id").orderBy("df", "sh")
-    sized = (sh.withColumn("pos", F.row_number().over(w))
+    sized = (sh.join(dfreq, "sh")
+               .withColumn("pos", F.row_number().over(w))
                .withColumn("sz", F.count(F.lit(1)).over(
                    Window.partitionBy("id"))))
     prefix = sized.filter(

@@ -116,6 +116,30 @@ def test_fsst_compresses_web_text():
     assert arrays_equal(arr, decode_column(e.payload, e.params))
 
 
+def test_fsst_round0_raw_bit_identical():
+    # the uint16 raw-byte fast path for the first merge round must produce
+    # byte-identical payloads to the generic sentineled path — boundary
+    # masking vs sentinel tokens must break the greedy parity runs at the
+    # same places (multi-block corpus: > BLOCK_BYTES forces the replay path)
+    import omi_cpp_parquet_wide_record_spark.codecs.fsst as FZ
+    rng = np.random.default_rng(7)
+    words = ["<div>", "</div>", "href=", "banana", "Jabberwock", "\xff\xff"]
+    docs = ["".join(rng.choice(words, rng.integers(0, 900)))
+            for _ in range(1200)] + ["", "x"]
+    arr = pa.array(docs)
+    assert arr.nbytes > FZ.BLOCK_BYTES_DEFAULT
+    c = FZ.FsstCodec()
+    fast, p_fast = c.encode(arr)
+    orig = FZ._round0_lut16
+    FZ._round0_lut16 = lambda prog: None      # force the generic path
+    try:
+        slow, p_slow = c.encode(arr)
+    finally:
+        FZ._round0_lut16 = orig
+    assert p_fast == p_slow
+    assert all(a == b for a, b in zip(fast, slow))
+
+
 # ---------------------------------------------------------------- hypothesis
 
 @settings(max_examples=60, deadline=None)

@@ -43,6 +43,19 @@ def test_ngram_jaccard(spark, docs):
     assert all(r.jaccard <= 1.0 for r in pairs)
 
 
+def test_ngram_jaccard_short_docs(spark):
+    # docs shorter than n words contribute no shingles (they used to hit
+    # an element_at(0) error pre-hashed-shingles); the oracle's empty
+    # range(1, 1) agrees
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "a"), (2, ""),
+         (3, "the quick brown fox jumps"), (4, "the quick brown fox jumps")],
+        ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs_prefix(df, threshold=0.5, n=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(3, 4)}
+
+
 def test_minhash_lsh_finds_exact_dup(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9, n_shingle=4)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
