@@ -7,7 +7,9 @@ Spark shape (SURVEY.md §3):
     df
       .withColumn(__pid, pmod(xxhash64(partition/salt cols), num_pids))   # stable work units
       .filter(~__pid.isin(committed))                                     # resume anti-filter
-      .repartition(num_pids, __pid)                                       # shuffle boundary #1
+      .repartition(num_pids, __pid)      # shuffle boundary #1 (colocate=
+                                         # "shuffle"; colocate="local"
+                                         # skips it — zero-shuffle encode)
       .mapInArrow(encode_task)   # batches regrouped by pid columnar-side,
                                  # Arrow batches -> numpy kernels
       -> manifest rows -> driver commit (snapshot JSON)                   # tiny collect: metadata only
@@ -316,6 +318,7 @@ def encode_dataframe(
     run_id: str | None = None,
     codec_overrides: dict | None = None,
     num_tasks: int | None = None,
+    colocate: str = "shuffle",
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
 
@@ -329,6 +332,20 @@ def encode_dataframe(
     ~5 ms per TASK — so several pids ride in one task (the encode task
     groups by pid internally and flushes per-pid chunks). Default
     4 x defaultParallelism, cap num_pids.
+    colocate: how a pid's rows reach one encode kernel.
+      - "shuffle" (default): one repartition co-locates each pid globally
+        — one chunk set per pid, best for fine-grained pids / bounded
+        file counts.
+      - "local": NO data shuffle; every input partition groups ITS rows
+        by pid and writes per-(task, pid) chunks. At the 100 TB end this
+        removes the single full-data shuffle — the most expensive stage
+        of the job — at the price of more chunk files (tasks x local pid
+        groups; compaction bounds read amplification later). Use it when
+        the input partitioning is already reasonably sized and pids are
+        coarse (e.g. partition_by=["lang"], salt=1). Resume stays sound
+        unchanged: a commit only ever happens after the whole job, so a
+        committed pid has ALL its rows encoded in either mode and the
+        pid anti-filter applies identically.
     """
     t0 = time.time()
     spark = df.sparkSession
@@ -347,10 +364,13 @@ def encode_dataframe(
     if committed:
         work = work.filter(~F.col(PID_COL).isin(*[int(p) for p in committed]))
 
-    if num_tasks is None:
-        num_tasks = min(num_pids,
-                        max(spark.sparkContext.defaultParallelism * 4, 8))
-    work = work.repartition(num_tasks, F.col(PID_COL))
+    if colocate == "shuffle":
+        if num_tasks is None:
+            num_tasks = min(num_pids,
+                            max(spark.sparkContext.defaultParallelism * 4, 8))
+        work = work.repartition(num_tasks, F.col(PID_COL))
+    elif colocate != "local":
+        raise ValueError(f"colocate must be 'shuffle' or 'local': {colocate}")
 
     task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
                                 chunk_bytes, codec_overrides, partition_by)

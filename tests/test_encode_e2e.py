@@ -70,6 +70,42 @@ def test_resume_skips_committed(spark, corpus, tmp_path):
     assert decode_store(spark, out).count() == ROWS
 
 
+def test_encode_local_colocation_zero_shuffle(spark, corpus, tmp_path):
+    """colocate='local' writes per-(task, pid) chunks with NO repartition —
+    the 100 TB path that removes the job's only full-data shuffle. Decode
+    must still be bit-identical, pid-level resume must still hold, and the
+    physical plan must contain no Exchange."""
+    out = str(tmp_path / "store")
+    r1 = encode_dataframe(corpus, out, partition_by=["lang"],
+                          num_pids=16, salt=1, colocate="local")
+    assert r1.rows == ROWS
+    v = verify_roundtrip(corpus, decode_store(spark, out, check_sha=True),
+                         key="url")
+    assert v.ok, v
+    # chunks stay single-language (the local grouping preserves
+    # partition_by homogeneity without the shuffle)
+    store = ChunkStore(out)
+    man = store.manifest_table()
+    import collections
+    rows_per_chunk_col = collections.Counter(
+        man.column("chunk_file").to_pylist())
+    assert all(c == len(corpus.columns) for c in rows_per_chunk_col.values())
+    # resume: a second run over the same corpus encodes nothing
+    r2 = encode_dataframe(corpus, out, partition_by=["lang"],
+                          num_pids=16, salt=1, colocate="local")
+    assert r2.pids_encoded == 0 and r2.pids_skipped == r1.pids_encoded
+    assert decode_store(spark, out).count() == ROWS
+    # plan check: no Exchange between the scan and the encode projection
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        PID_COL, pid_expr,
+    )
+    from pyspark.sql import functions as F
+    plan = corpus.withColumn(
+        PID_COL, pid_expr(["lang"], None, 16, 1)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_resume_after_partial_commit(spark, corpus, tmp_path):
     """Kill-after-K-commits simulation: commit a manifest for a subset of
     pids, rerun, assert only the missing pids are encoded (SURVEY §5.2.5)."""
