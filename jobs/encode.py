@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--num-pids", type=int, default=None)
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--chunk-rows", type=int, default=65536)
+    ap.add_argument("--colocate", choices=["shuffle", "local"],
+                    default="shuffle",
+                    help="'local' skips the repartition entirely (zero-"
+                         "shuffle encode; use with coarse pids)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--verify-key", default=None,
                     help="decode + bit-identity verify on this key column")
@@ -57,7 +61,8 @@ def main() -> int:
     res = encode_dataframe(
         df, args.output, partition_by=args.partition_by,
         salt_key=args.salt_key, num_pids=args.num_pids, salt=args.salt,
-        chunk_rows=args.chunk_rows, resume=not args.no_resume)
+        chunk_rows=args.chunk_rows, resume=not args.no_resume,
+        colocate=args.colocate)
     report = {
         "rows": res.rows, "bytes_in": res.bytes_in,
         "bytes_out": res.bytes_out, "ratio": round(res.ratio, 3),
