@@ -214,14 +214,20 @@ def test_frame_walk_vectorized_speed_and_parity():
         return offs
 
     frame_records(data)                       # warm numpy pools
-    t_new = min(_timed(frame_records, data) for _ in range(3))
-    t_old = min(_timed(walk_r2, data) for _ in range(3))
+    # interleaved PAIRS: the box's load swings 2-3x, and a spike landing
+    # on only the new-path reps could eat the whole ~6x margin — back-to-
+    # back pairs see the same load, so the best pairwise ratio is robust
+    ratios = []
+    for _ in range(4):
+        t_new = _timed(frame_records, data)
+        t_old = _timed(walk_r2, data)
+        ratios.append(t_old / t_new)
     sec, usec, offs, lens = frame_records(data)
     assert len(offs) == n
     assert np.array_equal(offs - 16, np.asarray(_scalar_walk(
         data, len(data), 24, False)))
     assert int(sec[5000]) == 1_700_000_000 + 5000 // 977
-    assert t_old / t_new >= 2.5, (t_old, t_new)
+    assert max(ratios) >= 2.5, ratios
 
 
 def _timed(fn, *args):
