@@ -181,16 +181,19 @@ def decode_store(spark: SparkSession, out_dir: str,
     # sequence-scoped deletes (Iceberg sequence numbers, ADVICE r2): a
     # delete committed at snapshot n applies only to data from manifests
     # committed BEFORE n, so rows re-inserted after the delete stay
-    # visible. The manifest filename encodes its commit number; the scan
-    # is split into one branch per commit epoch (driver-side metadata —
-    # epochs are commits, not data) and each delete anti-joins only the
-    # branches older than it.
+    # visible. The snapshot records each manifest's commit number
+    # ("manifest_n"; pre-sharding stores fall back to the number encoded
+    # in the manifest filename); the scan is split into one branch per
+    # commit epoch (driver-side metadata — epochs are commits, not data)
+    # and each delete anti-joins only the branches older than it.
     need_seq = any(d.get("n") is not None for d in deletes)
     commit_n: dict[str, int] = {}
     if need_seq:
         import pyarrow.parquet as _pq
+        man_n = snap.get("manifest_n", {})
         for m in snap["manifests"]:
-            n_m = int(m.split("-")[1])
+            n_m = (int(man_n[m]) if m in man_n
+                   else int(m.split("-")[1]))
             t = _pq.read_table(os.path.join(store.manifests_dir, m),
                                columns=["chunk_file"])
             for fname in set(t.column("chunk_file").to_pylist()):

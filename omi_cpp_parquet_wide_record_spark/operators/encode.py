@@ -49,6 +49,18 @@ from omi_cpp_parquet_wide_record_spark.selector import choose_codec
 CHUNK_MAGIC = b"OWRC1"
 PID_COL = "__owr_pid"
 
+# pid-level rollup yielded by sharded-manifest encode tasks (bounded by
+# num_pids, a config knob — unlike chunk-level manifest rows, which scale
+# with the data and stay executor-side)
+SUMMARY_SCHEMA = pa.schema([
+    ("shard_file", pa.string()),
+    ("pid", pa.int32()),
+    ("rows", pa.int64()),
+    ("bytes_in", pa.int64()),
+    ("bytes_out", pa.int64()),
+    ("chunks", pa.int64()),
+])
+
 # Worker-global codec plan cache. Spark reuses Python worker processes
 # across tasks (spark.python.worker.reuse), so one trial-selection per
 # (run, partition value, column) serves every task the worker executes —
@@ -57,6 +69,10 @@ PID_COL = "__owr_pid"
 # never share plans; size-capped as a leak guard.
 _WORKER_PLAN_CACHE: dict = {}
 _WORKER_PLAN_CACHE_MAX = 65536
+
+# resume filter: isin() literals up to this many committed pids, a
+# broadcast anti-join beyond (a million-literal isin blows up the plan)
+_ISIN_MAX = 4096
 
 
 @dataclass
@@ -233,9 +249,17 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
 
 def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
                          chunk_bytes: int, overrides: dict | None = None,
-                         group_cols: list[str] | None = None):
+                         group_cols: list[str] | None = None,
+                         manifests_dir: str | None = None):
     """Build the mapInArrow function. Accumulates per-pid batch slices and
-    flushes a chunk when either budget trips; all slicing is zero-copy."""
+    flushes a chunk when either budget trips; all slicing is zero-copy.
+
+    With ``manifests_dir`` set (the sharded-manifest mode), each task
+    writes its chunk-level manifest rows as a parquet SHARD executor-side
+    and yields only a pid-level rollup — chunk-level rows scale with the
+    data (one per chunk column) and must never be collected to the
+    driver at corpus scale. Without it, manifest rows are yielded whole
+    (driver-collected single-manifest commit, fine for small jobs)."""
 
     def task(batches):
         from pyspark import TaskContext
@@ -283,10 +307,36 @@ def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
                     flush(pid)
         for pid in list(acc):
             flush(pid)
-        if out_rows:
-            cols = {f.name: [r[f.name] for r in out_rows]
-                    for f in MANIFEST_SCHEMA}
-            yield pa.RecordBatch.from_pydict(cols, schema=MANIFEST_SCHEMA)
+        if not out_rows:
+            return
+        cols = {f.name: [r[f.name] for r in out_rows]
+                for f in MANIFEST_SCHEMA}
+        man = pa.table(cols, schema=MANIFEST_SCHEMA)
+        if manifests_dir is None:
+            yield man.to_batches(max_chunksize=1 << 20)[0]
+            return
+        # sharded mode: persist the chunk-level rows executor-side, report
+        # only the pid rollup (rows counted once per pid via the first
+        # data column, matching EncodeResult's row accounting)
+        import pyarrow.parquet as pq
+        shard = f"manifest-shard-{run_id[:8]}-{tag}.parquet"
+        pq.write_table(man, os.path.join(manifests_dir, shard))
+        first_col = out_rows[0]["column"]
+        agg: dict[int, list] = {}
+        for r in out_rows:
+            a = agg.setdefault(r["pid"], [0, 0, 0, 0])
+            a[0] += r["rows"] if r["column"] == first_col else 0
+            a[1] += r["bytes_in"]
+            a[2] += r["bytes_out"]
+            a[3] += 1
+        yield pa.RecordBatch.from_pydict({
+            "shard_file": [shard] * len(agg),
+            "pid": list(agg),
+            "rows": [a[0] for a in agg.values()],
+            "bytes_in": [a[1] for a in agg.values()],
+            "bytes_out": [a[2] for a in agg.values()],
+            "chunks": [a[3] for a in agg.values()],
+        }, schema=SUMMARY_SCHEMA)
 
     return task
 
@@ -319,6 +369,7 @@ def encode_dataframe(
     codec_overrides: dict | None = None,
     num_tasks: int | None = None,
     colocate: str = "shuffle",
+    manifest: str = "sharded",
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
 
@@ -346,6 +397,13 @@ def encode_dataframe(
         unchanged: a commit only ever happens after the whole job, so a
         committed pid has ALL its rows encoded in either mode and the
         pid anti-filter applies identically.
+    manifest: "sharded" (default) writes chunk-level manifest rows as
+      parquet shards executor-side — only shard names and a pid-level
+      rollup (bounded by num_pids) reach the driver, so the commit cost
+      does not scale with the data. "collect" gathers manifest rows to
+      the driver and writes one manifest file per commit (fewer files;
+      fine for small jobs). Both produce identical store semantics —
+      readers concat all manifest files a snapshot references.
     """
     t0 = time.time()
     spark = df.sparkSession
@@ -362,7 +420,17 @@ def encode_dataframe(
 
     committed = store.committed_pids() if resume else set()
     if committed:
-        work = work.filter(~F.col(PID_COL).isin(*[int(p) for p in committed]))
+        if len(committed) <= _ISIN_MAX:
+            work = work.filter(
+                ~F.col(PID_COL).isin(*[int(p) for p in committed]))
+        else:
+            # a million-literal isin() blows up the plan; anti-join a
+            # (broadcast) pid DataFrame instead — the committed set is
+            # bounded by num_pids, so it broadcasts at any corpus size
+            done = spark.createDataFrame(
+                [(int(p),) for p in sorted(committed)],
+                f"{PID_COL} int")
+            work = work.join(F.broadcast(done), PID_COL, "left_anti")
 
     if colocate == "shuffle":
         if num_tasks is None:
@@ -372,6 +440,30 @@ def encode_dataframe(
     elif colocate != "local":
         raise ValueError(f"colocate must be 'shuffle' or 'local': {colocate}")
 
+    import pyarrow.compute as pc
+    if manifest == "sharded":
+        task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
+                                    chunk_bytes, codec_overrides,
+                                    partition_by, store.manifests_dir)
+        summaries = work.mapInArrow(task, _summary_ddl()).toArrow() \
+            .cast(SUMMARY_SCHEMA)
+        if summaries.num_rows == 0 and not committed:
+            raise ValueError("nothing to encode: input DataFrame is empty")
+        shard_files = sorted(set(summaries.column("shard_file").to_pylist()))
+        new_pids = set(summaries.column("pid").to_pylist())
+        snap = store.commit(shard_files, _spark_to_arrow_schema(df), run_id,
+                            new_pids=new_pids)
+        bi = pc.sum(summaries.column("bytes_in")).as_py() or 0
+        bo = pc.sum(summaries.column("bytes_out")).as_py() or 0
+        rows = pc.sum(summaries.column("rows")).as_py() or 0
+        return EncodeResult(
+            snapshot=snap, rows=rows, bytes_in=bi, bytes_out=bo,
+            seconds=time.time() - t0, pids_encoded=len(new_pids),
+            pids_skipped=len(committed),
+        )
+    if manifest != "collect":
+        raise ValueError(f"manifest must be 'sharded' or 'collect': "
+                         f"{manifest}")
     task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
                                 chunk_bytes, codec_overrides, partition_by)
     manifest_df = work.mapInArrow(task, _manifest_ddl())
@@ -381,7 +473,6 @@ def encode_dataframe(
 
     snap = store.commit(manifest_rows, _spark_to_arrow_schema(df), run_id)
 
-    import pyarrow.compute as pc
     bi = pc.sum(manifest_rows.column("bytes_in")).as_py() or 0
     bo = pc.sum(manifest_rows.column("bytes_out")).as_py() or 0
     first_col = df.columns[0]
@@ -394,6 +485,11 @@ def encode_dataframe(
         pids_encoded=len(set(manifest_rows.column("pid").to_pylist())),
         pids_skipped=len(committed),
     )
+
+
+def _summary_ddl() -> str:
+    return ("shard_file string, pid int, rows long, bytes_in long,"
+            " bytes_out long, chunks long")
 
 
 def _manifest_ddl() -> str:

@@ -143,10 +143,20 @@ class ChunkStore:
 
     # ------------------------------------------------------------ commit
 
-    def commit(self, manifest: pa.Table, schema: pa.Schema,
+    def commit(self, manifest: pa.Table | list[str], schema: pa.Schema,
                run_id: str, stats: dict | None = None,
-               replace: bool = False) -> dict:
+               replace: bool = False,
+               new_pids: set[int] | None = None) -> dict:
         """Append a manifest and flip the snapshot pointer atomically.
+
+        ``manifest`` is either a driver-held Arrow table (written here as
+        one manifest file) or a list of manifest SHARD file names the
+        encode tasks already wrote executor-side into ``manifests_dir``.
+        The sharded form is the at-scale path: chunk-level manifest rows
+        scale with the data (one row per chunk column — tens of millions
+        at corpus scale), so they must never be collected to the driver;
+        only the shard NAMES (one per task) and the pid-level rollup reach
+        the commit. ``new_pids`` is required with the sharded form.
 
         ``replace=True`` is the Iceberg REPLACE commit: the new snapshot
         references only this manifest (prior data, deletes, and pids drop
@@ -156,10 +166,17 @@ class ChunkStore:
         self.create()
         parent = self.current_snapshot()
         n = (parent["n"] + 1) if parent else 0
-        mname = f"manifest-{n:05d}-{uuid.uuid4().hex[:8]}.parquet"
-        pq.write_table(manifest.cast(MANIFEST_SCHEMA),
-                       os.path.join(self.manifests_dir, mname))
-        new_pids = set(manifest.column("pid").to_pylist())
+        if isinstance(manifest, list):
+            if new_pids is None:
+                raise ValueError("sharded commit needs new_pids")
+            mnames = list(manifest)
+            new_pids = set(int(p) for p in new_pids)
+        else:
+            mname = f"manifest-{n:05d}-{uuid.uuid4().hex[:8]}.parquet"
+            pq.write_table(manifest.cast(MANIFEST_SCHEMA),
+                           os.path.join(self.manifests_dir, mname))
+            mnames = [mname]
+            new_pids = set(manifest.column("pid").to_pylist())
         keep_parent = parent is not None and not replace
         committed = (set(parent["committed_pids"]) if keep_parent
                      else set()) | new_pids
@@ -170,7 +187,15 @@ class ChunkStore:
             "created_ms": int(time.time() * 1000),
             "run_id": run_id,
             "manifests": (parent["manifests"] if keep_parent else [])
-            + [mname],
+            + mnames,
+            # commit number per manifest (Iceberg sequence number) — the
+            # delete-scoping reader needs it, and shard filenames written
+            # executor-side cannot encode a number the driver only
+            # assigns at commit time
+            "manifest_n": {
+                **(parent.get("manifest_n", {}) if keep_parent else {}),
+                **{m: n for m in mnames},
+            },
             "committed_pids": sorted(committed),
             "delete_files": self.delete_files(parent) if keep_parent else [],
             "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),

@@ -81,8 +81,11 @@ class OwrcReader(DataSourceReader):
         deletes = store.delete_files(snap)
         commit_n: dict[str, int] = {}
         if deletes and any(d.get("n") is not None for d in deletes):
+            man_n = snap.get("manifest_n", {})
             for m in snap["manifests"]:
-                n_m = int(m.split("-")[1])
+                # commit number from the snapshot record; pre-sharding
+                # stores fall back to the filename-encoded number
+                n_m = int(man_n[m]) if m in man_n else int(m.split("-")[1])
                 t = pq.read_table(os.path.join(store.manifests_dir, m),
                                   columns=["chunk_file"])
                 for fname in set(t.column("chunk_file").to_pylist()):

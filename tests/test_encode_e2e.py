@@ -106,6 +106,46 @@ def test_encode_local_colocation_zero_shuffle(spark, corpus, tmp_path):
     assert "Exchange" not in plan, plan
 
 
+def test_sharded_and_collected_manifests_equivalent(spark, corpus, tmp_path):
+    """manifest='sharded' keeps chunk-level rows executor-side (only shard
+    names + a pid rollup reach the driver — the 100 TB commit path);
+    'collect' gathers them into one manifest file. Same store semantics:
+    identical metrics totals, identical decode, and the sharded snapshot
+    must reference one shard per reporting task, each carrying its commit
+    number for delete scoping."""
+    sh_dir, co_dir = str(tmp_path / "sharded"), str(tmp_path / "collect")
+    r_sh = encode_dataframe(corpus, sh_dir, partition_by=["lang"],
+                            salt_key="url", num_pids=12, salt=4,
+                            manifest="sharded")
+    r_co = encode_dataframe(corpus, co_dir, partition_by=["lang"],
+                            salt_key="url", num_pids=12, salt=4,
+                            manifest="collect")
+    assert (r_sh.rows, r_sh.bytes_in, r_sh.pids_encoded) == \
+        (r_co.rows, r_co.bytes_in, r_co.pids_encoded)
+    m_sh, m_co = ChunkStore(sh_dir).metrics(), ChunkStore(co_dir).metrics()
+    for k in ("chunks", "pids", "rows", "bytes_in"):
+        assert m_sh[k] == m_co[k], (k, m_sh[k], m_co[k])
+    snap = ChunkStore(sh_dir).current_snapshot()
+    assert len(snap["manifests"]) > 1          # one shard per task
+    assert set(snap["manifest_n"]) == set(snap["manifests"])
+    v = verify_roundtrip(corpus, decode_store(spark, sh_dir), key="url")
+    assert v.ok, v
+    # resume works identically off a sharded commit, including the
+    # broadcast anti-join path used when the committed set is too large
+    # for isin literals
+    from omi_cpp_parquet_wide_record_spark.operators import encode as E
+    old = E._ISIN_MAX
+    E._ISIN_MAX = 0
+    try:
+        r2 = encode_dataframe(corpus, sh_dir, partition_by=["lang"],
+                              salt_key="url", num_pids=12, salt=4)
+    finally:
+        E._ISIN_MAX = old
+    assert r2.pids_encoded == 0
+    assert r2.pids_skipped == r_sh.pids_encoded
+    assert decode_store(spark, sh_dir).count() == ROWS
+
+
 def test_resume_after_partial_commit(spark, corpus, tmp_path):
     """Kill-after-K-commits simulation: commit a manifest for a subset of
     pids, rerun, assert only the missing pids are encoded (SURVEY §5.2.5)."""
