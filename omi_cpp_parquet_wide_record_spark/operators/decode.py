@@ -134,7 +134,8 @@ def decode_store(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  check_sha: bool = False,
                  snapshot: int | None = None,
-                 filters: list[tuple[str, str, object]] | None = None
+                 filters: list[tuple[str, str, object]] | None = None,
+                 planning: str = "driver",
                  ) -> DataFrame:
     """A committed snapshot as a DataFrame (distributed decode).
 
@@ -144,7 +145,20 @@ def decode_store(spark: SparkSession, out_dir: str,
     ``filters=[(col, op, value), ...]`` (ops: < <= > >= ==, ANDed) pushes
     the predicate into the store: chunk files whose zone maps cannot
     satisfy it are never opened, and the exact filter is applied to the
-    surviving rows — semantics identical to a post-hoc .filter()."""
+    surviving rows — semantics identical to a post-hoc .filter().
+
+    ``planning`` chooses where scan planning runs:
+      - "driver" (default): the manifest concats into one driver Arrow
+        table; zone-map AND bloom pruning run there. Right up to millions
+        of chunk rows, and the per-query overhead is minimal.
+      - "distributed": the manifests are themselves read as a Spark job
+        and the chunk-file list never materializes on the driver —
+        chunk-level manifest rows scale with the data, so at corpus scale
+        (tens of millions of chunks) planning must distribute like
+        everything else (Iceberg's distributed planning). Zone-map
+        pruning happens as DataFrame filters for NUMERIC/timestamp
+        predicates; string range and bloom pruning are conservatively
+        skipped (the residual filter keeps results exact)."""
     store = ChunkStore(out_dir)
     snap = store.snapshot_at(snapshot) if snapshot is not None \
         else store.current_snapshot()
@@ -169,11 +183,16 @@ def decode_store(spark: SparkSession, out_dir: str,
     # regardless)
     schema = pa.schema(
         [pa.field(f.name, f.type, nullable=True) for f in schema])
-    manifest = store.manifest_table(snap)
-    if filters:
-        files = prune_files(manifest, filters)
-    else:
-        files = sorted(set(manifest.column("chunk_file").to_pylist()))
+    if planning not in ("driver", "distributed"):
+        raise ValueError(
+            f"planning must be 'driver' or 'distributed': {planning}")
+    files: list[str] = []
+    if planning == "driver":
+        manifest = store.manifest_table(snap)
+        if filters:
+            files = prune_files(manifest, filters)
+        else:
+            files = sorted(set(manifest.column("chunk_file").to_pylist()))
     chunks_dir = store.chunks_dir
 
     deletes = [d for d in store.delete_files(snap)
@@ -187,13 +206,16 @@ def decode_store(spark: SparkSession, out_dir: str,
     # commit epoch (driver-side metadata — epochs are commits, not data)
     # and each delete anti-joins only the branches older than it.
     need_seq = any(d.get("n") is not None for d in deletes)
+    man_n = snap.get("manifest_n", {})
+
+    def _n_of(m: str) -> int:
+        return int(man_n[m]) if m in man_n else int(m.split("-")[1])
+
     commit_n: dict[str, int] = {}
-    if need_seq:
+    if need_seq and planning == "driver":
         import pyarrow.parquet as _pq
-        man_n = snap.get("manifest_n", {})
         for m in snap["manifests"]:
-            n_m = (int(man_n[m]) if m in man_n
-                   else int(m.split("-")[1]))
+            n_m = _n_of(m)
             t = _pq.read_table(os.path.join(store.manifests_dir, m),
                                columns=["chunk_file"])
             for fname in set(t.column("chunk_file").to_pylist()):
@@ -245,7 +267,70 @@ def decode_store(spark: SparkSession, out_dir: str,
             df = df.join(F.broadcast(keys), d["key"], "left_anti")
         return df
 
-    if need_seq and files:
+    def scan_df(fdf: DataFrame) -> DataFrame:
+        return fdf.repartition(
+            spark.sparkContext.defaultParallelism * 2
+        ).mapInArrow(task, spark_schema)
+
+    def _distributed_files(paths: list[str]) -> DataFrame:
+        """Chunk-file list as a Spark plan — manifests are read as data,
+        the driver never materializes the list. Zone pruning runs as an
+        anti-join against rows whose stats EXCLUDE a numeric filter;
+        int filters compare as longs (exact), float filters as doubles
+        guarded to the 2^53 exact range so pruning stays sound. String
+        range and bloom pruning are skipped here (conservative — the
+        residual filter keeps results exact)."""
+        mdf = spark.read.option("mergeSchema", "true").parquet(*paths)
+        fdf = mdf.select("chunk_file").distinct()
+        if not filters or "stat_min" not in mdf.columns:
+            return fdf
+        import datetime
+        conds = []
+        for c, op, v in filters:
+            if isinstance(v, datetime.datetime):
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=datetime.timezone.utc)
+                v = int(v.timestamp() * 1_000_000)
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            t = "bigint" if isinstance(v, int) else "double"
+            lo = F.col("stat_min").try_cast(t)
+            hi = F.col("stat_max").try_cast(t)
+            guard = F.lit(True) if t == "bigint" else \
+                (F.abs(lo) < F.lit(2.0 ** 53)) & (F.abs(hi) < F.lit(2.0 ** 53))
+            excl = {"<": lo >= v, "<=": lo > v, ">": hi <= v,
+                    ">=": hi < v, "==": (lo > v) | (hi < v)}.get(op)
+            if excl is not None:
+                conds.append((F.col("column") == c) & guard & excl)
+        if not conds:
+            return fdf
+        cond = conds[0]
+        for c2 in conds[1:]:
+            cond = cond | c2
+        excluded = mdf.filter(cond).select("chunk_file").distinct()
+        return fdf.join(excluded, "chunk_file", "left_anti")
+
+    if planning == "distributed":
+        mans = snap["manifests"]
+        mpath = [os.path.join(store.manifests_dir, m) for m in mans]
+        if not mans:
+            out = apply_deletes(scan([]), None)
+        elif need_seq:
+            # one branch per commit epoch, exactly like driver planning —
+            # epochs come from snapshot metadata (commits, not data)
+            groups: dict[int, list[str]] = {}
+            for m in mans:
+                groups.setdefault(_n_of(m), []).append(
+                    os.path.join(store.manifests_dir, m))
+            branches = [
+                apply_deletes(scan_df(_distributed_files(g)), e)
+                for e, g in sorted(groups.items())]
+            out = branches[0]
+            for b in branches[1:]:
+                out = out.unionAll(b)
+        else:
+            out = apply_deletes(scan_df(_distributed_files(mpath)), None)
+    elif need_seq and files:
         epochs = sorted({commit_n.get(f, 0) for f in files})
         branches = [
             apply_deletes(scan([f for f in files

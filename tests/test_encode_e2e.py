@@ -146,6 +146,43 @@ def test_sharded_and_collected_manifests_equivalent(spark, corpus, tmp_path):
     assert decode_store(spark, sh_dir).count() == ROWS
 
 
+def test_distributed_planning_matches_driver(spark, corpus, tmp_path):
+    """planning='distributed' reads the manifests as a Spark job — the
+    chunk-file list never materializes on the driver (Iceberg-style
+    distributed planning for corpus-scale stores). Results must equal
+    driver planning exactly: plain scans, numeric zone-pruned filtered
+    scans, projections, and sequence-scoped delete branching."""
+    import datetime
+    out = str(tmp_path / "store")
+    encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                     num_pids=12, salt=4)
+    a = decode_store(spark, out)
+    b = decode_store(spark, out, planning="distributed")
+    assert a.count() == b.count() == ROWS
+    assert a.exceptAll(b).count() == 0
+    # numeric (timestamp) filter: distributed zone pruning + residual
+    cut = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    fa = decode_store(spark, out, filters=[("warc_ts", ">", cut)])
+    fb = decode_store(spark, out, filters=[("warc_ts", ">", cut)],
+                      planning="distributed")
+    assert fa.count() == fb.count()
+    assert fa.exceptAll(fb).count() == 0
+    # projection
+    pa_ = decode_store(spark, out, columns=["url", "lang"],
+                       planning="distributed")
+    assert pa_.columns == ["url", "lang"] and pa_.count() == ROWS
+    # sequence-scoped deletes: epoch branching must agree across modes
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows,
+    )
+    victims = corpus.limit(7).select("url")
+    delete_rows(out, victims, "url")
+    da = decode_store(spark, out)
+    db = decode_store(spark, out, planning="distributed")
+    assert da.count() == db.count() == ROWS - 7
+    assert da.exceptAll(db).count() == 0
+
+
 def test_resume_after_partial_commit(spark, corpus, tmp_path):
     """Kill-after-K-commits simulation: commit a manifest for a subset of
     pids, rerun, assert only the missing pids are encoded (SURVEY §5.2.5)."""
