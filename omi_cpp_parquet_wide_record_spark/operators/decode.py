@@ -13,6 +13,7 @@ import hashlib
 import json
 import os
 
+import pandas as pd
 import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession
@@ -128,6 +129,44 @@ def prune_files(manifest: pa.Table,
                 if not bloom_might_contain(bl, vb):
                     keep[f] = False
     return sorted(f for f, k in keep.items() if k)
+
+
+def _bloom_absent_udf(value: str | bytes):
+    """pandas_udf(bloom_b64) -> True where the bloom PROVES the literal
+    absent. The literal's k bit positions are computed once driver-side
+    (mirroring encode._column_bloom exactly); each batch stacks the
+    decoded fixed-size bitsets into one matrix and gathers the k columns
+    whole-batch (the per-row part is only C-level b64decode of 1.4 KB)."""
+    import base64 as _b64
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        BLOOM_BITS, BLOOM_K, BLOOM_P, BLOOM_PREFIX,
+    )
+    vb = value.encode() if isinstance(value, str) else value
+    hs = []
+    for base in (257, 263):
+        a = 1 % BLOOM_P
+        for ch in vb[:BLOOM_PREFIX]:
+            a = (a * base + ch) % BLOOM_P
+        hs.append(a)
+    idx = np.array([(hs[0] + i * hs[1]) % BLOOM_BITS
+                    for i in range(BLOOM_K)])
+    byte_i, bit_i = idx // 8, 7 - (idx % 8)   # packbits is MSB-first
+
+    @pandas_udf("boolean")
+    def absent(blooms: pd.Series) -> pd.Series:
+        raw = b"".join(_b64.b64decode(b) for b in blooms)  # fixed 1 KB each
+        mat = np.frombuffer(raw, dtype=np.uint8).reshape(
+            len(blooms), BLOOM_BITS // 8)
+        hit = np.ones(len(blooms), dtype=bool)
+        for b, s in zip(byte_i.tolist(), bit_i.tolist()):
+            hit &= (mat[:, b] >> s) & 1 == 1
+        return pd.Series(~hit)
+
+    return absent
 
 
 def decode_store(spark: SparkSession, out_dir: str,
@@ -284,6 +323,21 @@ def decode_store(spark: SparkSession, out_dir: str,
         fdf = mdf.select("chunk_file").distinct()
         if not filters or "stat_min" not in mdf.columns:
             return fdf
+        # bloom pruning for string/bytes equality, fully vectorized: the
+        # k bit positions of the literal are fixed, so a batch of base64
+        # bitsets probes as one reshape + column gather (no per-row
+        # Python). A chunk whose bloom rules the literal out is excluded;
+        # missing blooms conservatively read as "may contain".
+        if "bloom" in mdf.columns:
+            eq_str = [(c, v) for c, op, v in filters
+                      if op == "==" and isinstance(v, (str, bytes))]
+            for c, v in eq_str:
+                probe = _bloom_absent_udf(v)
+                excl_b = (mdf.filter((F.col("column") == c)
+                                     & F.col("bloom").isNotNull())
+                          .filter(probe(F.col("bloom")))
+                          .select("chunk_file").distinct())
+                fdf = fdf.join(excl_b, "chunk_file", "left_anti")
         import datetime
         conds = []
         for c, op, v in filters:

@@ -637,3 +637,13 @@ def test_bloom_filter_pruning_on_equality(spark, tmp_path):
     # int equality still handled by zone maps (bloom only on bytes-like)
     one = decode_store(spark, out, filters=[("id", "==", 77)]).collect()
     assert len(one) == 1 and one[0].url.endswith("/77")
+    # distributed planning probes the same blooms as a vectorized UDF
+    # over the manifest rows — identical results on hit and miss
+    dgot = decode_store(spark, out,
+                        filters=[("url", "==",
+                                  "https://example.org/page/1234")],
+                        planning="distributed").collect()
+    assert len(dgot) == 1 and dgot[0].id == 1234
+    assert decode_store(spark, out,
+                        filters=[("url", "==", "nope://missing")],
+                        planning="distributed").count() == 0
