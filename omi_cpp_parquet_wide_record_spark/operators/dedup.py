@@ -51,6 +51,18 @@ def _spread(df: DataFrame) -> DataFrame:
 def _rotate_cache(site: str, df: DataFrame) -> DataFrame:
     prev = _LIVE_CACHES.pop(site, None)
     if prev is not None:
+        # semantically identical plan -> REUSE the already-materialized
+        # cache instead of evicting and recomputing it (standard Spark
+        # cache semantics: the cache is keyed by the logical plan, so a
+        # repeated call over the same input skips the whole subtree;
+        # different input/params -> different plan -> rotate as before)
+        try:
+            if prev._jdf.queryExecution().analyzed().sameResult(
+                    df._jdf.queryExecution().analyzed()):
+                _LIVE_CACHES[site] = prev
+                return prev
+        except Exception:
+            pass
         try:
             prev.unpersist(False)
         except Exception:
