@@ -20,7 +20,9 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from omi_cpp_parquet_wide_record_spark.operators.dedup import _spread
+from omi_cpp_parquet_wide_record_spark.operators.dedup import (
+    _rotate_cache, _spread,
+)
 
 
 def trunc(col, digits: int):
@@ -200,8 +202,13 @@ def lsh_cosine_candidates(df: DataFrame, n_planes: int = 12, bands: int = 3,
         F.shiftrightunsigned("bucket", b * width).bitwiseAND(
             F.lit((1 << width) - 1)).alias("bh")).alias(f"b{b}")
         for b in range(bands)]
-    bk = (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
-          .select("id", "bk.band", "bk.bh"))
+    # both self-join sides consume the signature kernel's output — cache
+    # the NARROW (id, band, bh) rows so the mapInArrow subtree runs once
+    # per input, not twice (and not at all on a repeated identical call)
+    bk = _rotate_cache("lsh_bands", sigs
+                       .select("id", F.explode(F.array(*band_cols))
+                               .alias("bk"))
+                       .select("id", "bk.band", "bk.bh"))
     l = bk.select(F.col("id").alias("id_a"), "band", "bh")
     r = bk.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (l.join(r, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
