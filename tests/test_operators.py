@@ -43,6 +43,22 @@ def test_ngram_jaccard(spark, docs):
     assert all(r.jaccard <= 1.0 for r in pairs)
 
 
+def test_rotate_cache_reuses_same_plan_and_rotates_on_change(spark):
+    # same logical plan -> the SAME persisted DataFrame object comes back
+    # (no eviction, no recompute); a different plan rotates the cache
+    df1 = spark.range(100).withColumn("x", F.col("id") * 2)
+    a = dedup._rotate_cache("test_site", df1)
+    a.count()
+    b = dedup._rotate_cache(
+        "test_site", spark.range(100).withColumn("x", F.col("id") * 2))
+    assert a is b
+    c = dedup._rotate_cache(
+        "test_site", spark.range(200).withColumn("x", F.col("id") * 2))
+    assert c is not a
+    assert c.count() == 200
+    dedup._LIVE_CACHES.pop("test_site").unpersist()
+
+
 def test_ngram_jaccard_short_docs(spark):
     # docs shorter than n words contribute no shingles (they used to hit
     # an element_at(0) error pre-hashed-shingles); the oracle's empty
