@@ -661,28 +661,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "documents"), min_quality=0.5,
         langs=("en", "de", "fr", "es"), near_dup_threshold=0.6)
 
-    # corpus vocabulary stats: top tokens by document frequency (the
-    # training-data "heavy hitters" — exact, scale via one groupBy)
-    def _vocab(s, d):
-        from pyspark.sql import Window
-        # orderBy().limit(50) keeps the top-k a distributed sort-limit; the
-        # unpartitioned row_number window (which would funnel the whole
-        # token-frequency table through one task) only ranks the 50 winners
-        w = Window.orderBy(F.col("df").desc(), F.col("token"))
-        return (_read(s, d, "documents")
-                .select(F.explode(F.array_distinct(F.split("text", " ")))
-                        .alias("token"))
-                .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-                .orderBy(F.col("df").desc(), F.col("token")).limit(50)
-                .withColumn("rk", F.row_number().over(w)))
-    q["vocab_top_tokens"] = _vocab
+    # near-dup clusters: one row per node with its connected-component
+    # representative (min reachable id) over the MinHash pair graph —
+    # the closing step of corpus dedup (pairwise drop-the-higher-id
+    # over-deletes transitive clusters); min-label propagation with
+    # pointer jumping, oracle = DuckDB recursive-CTE transitive closure
+    q["dedup_connected_components"] = lambda s, d: (
+        dedup.connected_components(
+            dedup.minhash_lsh_pairs(_read(s, d, "documents"), threshold=0.6))
+        .select(F.col("id").alias("doc_id"), "component"))
 
-    q["doc_length_histogram"] = lambda s, d: (
-        _read(s, d, "documents")
-        .groupBy((F.floor(F.col("n_chars") / 100) * 100).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
-              .alias("total_chars")))
+    # corpus text stats, one query: top-50 tokens by document frequency
+    # (kind='token'; the training-data "heavy hitters", a distributed
+    # sort-limit) UNION the 100-char document-length histogram
+    # (kind='bucket') — fused so the registry stays at the driver's
+    # 50-row record limit (COVERAGE.md)
+    def _text_stats(s, d):
+        from pyspark.sql import Window
+        w = Window.orderBy(F.col("df").desc(), F.col("token"))
+        vocab = (_read(s, d, "documents")
+                 .select(F.explode(F.array_distinct(F.split("text", " ")))
+                         .alias("token"))
+                 .groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+                 .orderBy(F.col("df").desc(), F.col("token")).limit(50)
+                 .withColumn("rk", F.row_number().over(w))
+                 .select(F.lit("token").alias("kind"),
+                         F.col("token").alias("key"),
+                         F.col("df").cast("long").alias("n"),
+                         F.col("rk").cast("double").alias("metric")))
+        hist = (_read(s, d, "documents")
+                .groupBy((F.floor(F.col("n_chars") / 100) * 100)
+                         .alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("n_chars").cast("decimal(18,0)"))
+                      .cast("double").alias("total_chars"))
+                .select(F.lit("bucket").alias("kind"),
+                        F.col("bucket").cast("string").alias("key"),
+                        F.col("n").cast("long").alias("n"),
+                        F.col("total_chars").alias("metric")))
+        return vocab.unionByName(hist)
+    q["text_corpus_stats"] = _text_stats
 
     # ---------------- similarity search
     q["ann_cosine_topk"] = lambda s, d: similarity.cosine_topk(
@@ -985,18 +1003,19 @@ def oracle_sql() -> dict[str, str]:
         r"md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp "
         "FROM documents")
 
-    sql["vocab_top_tokens"] = (
+    sql["text_corpus_stats"] = (
         "WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))"
         " AS token FROM documents), "
         "df AS (SELECT token, count(*) AS df FROM tok GROUP BY token), "
         "r AS (SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token)"
         " AS rk FROM df) "
-        "SELECT token, df, CAST(rk AS INT) AS rk FROM r WHERE rk <= 50")
-
-    sql["doc_length_histogram"] = (
-        "SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n, "
-        "CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS total_chars "
-        "FROM documents GROUP BY 1")
+        "SELECT 'token' AS kind, token AS key, CAST(df AS BIGINT) AS n, "
+        "CAST(rk AS DOUBLE) AS metric FROM r WHERE rk <= 50 "
+        "UNION ALL "
+        "SELECT 'bucket' AS kind, CAST((n_chars // 100) * 100 AS VARCHAR) "
+        "AS key, count(*) AS n, "
+        "CAST(sum(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS metric "
+        "FROM documents GROUP BY (n_chars // 100) * 100")
 
     cos = ("list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /"
            " (sqrt(list_dot_product(q.embedding::DOUBLE[], "
@@ -1104,6 +1123,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a "
         "JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k GROUP BY 1, 2) "
         "SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.6")
+
+    # connected components over the SAME MinHash pair graph: the oracle
+    # computes the transitive closure with a recursive CTE and labels each
+    # node with the min reachable id — exactly the fixpoint the Spark-side
+    # min-label propagation with pointer jumping converges to
+    sql["dedup_connected_components"] = (
+        "WITH RECURSIVE mh AS (SELECT id_a, id_b FROM ("
+        + sql["dedup_minhash_lsh"] + ") __mh), "
+        "und AS (SELECT id_a AS a, id_b AS b FROM mh "
+        "UNION SELECT id_b, id_a FROM mh), "
+        "reach(a, b) AS (SELECT a, b FROM und "
+        "UNION SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a) "
+        "SELECT a AS doc_id, least(a, min(b)) AS component "
+        "FROM reach GROUP BY a")
 
     # mod-p SimHash (62-bit): per token INSTANCE (bag semantics), two
     # lowbias32-mixed Horner hashes mod

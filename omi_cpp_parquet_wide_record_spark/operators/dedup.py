@@ -583,3 +583,58 @@ def curate_corpus(df: DataFrame, min_quality: float = 0.5,
               .select(F.col("id_b").alias(id_col)).distinct())
     return (uniq.join(losers, id_col, "left_anti")
             .select(id_col, "quality", "lang_pred"))
+
+
+# ------------------------------------------------- connected components
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(id, component) for every node in ``pairs``; component = the MIN id
+    reachable through the pair graph.
+
+    The standard closing step of web-scale near-dup removal: pairwise
+    drop-the-higher-id over-deletes transitive clusters (a~b, b~c keeps
+    only a even though a and c may be far apart), while one survivor per
+    CONNECTED COMPONENT is the policy the big corpus pipelines use. The
+    reference has no graph surface at all; this is pure DataFrame
+    iteration (SURVEY.md §2.2 engine-needs class).
+
+    Algorithm: min-label propagation with pointer jumping —
+    each round every node takes min(own label, neighbors' labels), then
+    labels shortcut through their own label's label (comp <- comp[comp]).
+    Jumping makes rounds converge in O(log diameter): 25 rounds cover
+    diameters up to ~2^25. Each round is two joins + one aggregation over
+    (id, label) pairs — narrow rows, never documents — and the loop stops
+    at the first unchanged fixpoint (driver sees only the change COUNT).
+
+    Every round eagerly localCheckpoints its labels: each iteration's
+    plan references the previous one ~3 times, so without lineage
+    truncation the logical plan grows EXPONENTIALLY in rounds (a 12-round
+    run OOMs the driver on plan strings alone — persist() caches data but
+    not plans). On a cluster where executor loss matters, swap for
+    reliable checkpoint(dir); the fixpoint logic is unchanged.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        nb = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+              .select(F.col("dst").alias("id"), "component"))
+        new = (labels.unionByName(nb).groupBy("id")
+               .agg(F.min("component").alias("component")))
+        jump = new.select(F.col("id").alias("__jid"),
+                          F.col("component").alias("__jcomp"))
+        new = (new.join(jump, new["component"] == jump["__jid"], "left")
+               .select("id", F.coalesce("__jcomp", "component")
+                       .alias("component"))).localCheckpoint()
+        changed = (new.withColumnRenamed("component", "__new")
+                   .join(labels, "id")
+                   .filter(F.col("__new") != F.col("component")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -43,6 +43,27 @@ def test_ngram_jaccard(spark, docs):
     assert all(r.jaccard <= 1.0 for r in pairs)
 
 
+def test_connected_components(spark):
+    # chain, star, isolated pair — every node labeled with the MIN id
+    # reachable (the transitive fixpoint, not pairwise drop-the-higher-id)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        ["id_a", "id_b"])
+    got = sorted((r.id, r.component)
+                 for r in dedup.connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+                   (12, 10), (13, 10), (20, 20), (21, 20)]
+    # long path: pointer jumping must converge well inside max_iter
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"])
+    comps = {r.component for r in
+             dedup.connected_components(chain, max_iter=12).collect()}
+    assert comps == {0}
+    # empty pair set -> empty result, no loop
+    assert dedup.connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")).count() == 0
+
+
 def test_rotate_cache_reuses_same_plan_and_rotates_on_change(spark):
     # same logical plan -> the SAME persisted DataFrame object comes back
     # (no eviction, no recompute); a different plan rotates the cache
