@@ -64,6 +64,37 @@ def test_connected_components(spark):
         spark.createDataFrame([], "id_a long, id_b long")).count() == 0
 
 
+def test_connected_components_random_vs_union_find(spark):
+    # random graphs vs a plain union-find reference: component labels must
+    # be the min id of each component, for every node that has an edge
+    import random
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(rng.randint(5, 70))})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = {v for e in edges for v in e}
+        comp_min: dict[int, int] = {}
+        for v in nodes:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = sorted((v, comp_min[find(v)]) for v in nodes)
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = sorted((r.id, r.component)
+                     for r in dedup.connected_components(pairs).collect())
+        assert got == expected, (trial, edges, got, expected)
+
+
 def test_rotate_cache_reuses_same_plan_and_rotates_on_change(spark):
     # same logical plan -> the SAME persisted DataFrame object comes back
     # (no eviction, no recompute); a different plan rotates the cache
