@@ -543,18 +543,26 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
 def curate_corpus(df: DataFrame, min_quality: float = 0.5,
                   langs: tuple[str, ...] = ("en", "de", "fr", "es"),
                   near_dup_threshold: float = 0.6,
-                  text_col: str = "text", id_col: str = "doc_id"
-                  ) -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  near_dup_policy: str = "pairwise") -> DataFrame:
     """The composed training-data curation pipeline, one DataFrame plan:
 
       quality/lang gate  ->  exact-dup removal (keep min id)  ->
-      MinHash near-dup removal (drop the higher id of each pair)
+      MinHash near-dup removal
 
     Everything stays JVM-side / whole-batch: the gate is Catalyst
     expressions (text.py), exact dedup a window over md5, near-dup the
     oracle-checked mod-p MinHash LSH. Returns the surviving docs with
     their quality and predicted language. Deterministic survivor rule
     (lower id wins every tie) so the result is SQL-reproducible.
+
+    near_dup_policy:
+      - "pairwise" (default, the registered oracle): drop the higher id
+        of every near-dup pair. Conservative on transitive clusters —
+        a~b, b~c keeps only a, even when a and c are far apart.
+      - "components": keep exactly ONE doc (the min id) per CONNECTED
+        COMPONENT of the pair graph — the policy large corpus pipelines
+        use; see connected_components.
     """
     from omi_cpp_parquet_wide_record_spark.operators.text import (
         lang_id, quality_score,
@@ -578,9 +586,18 @@ def curate_corpus(df: DataFrame, min_quality: float = 0.5,
     # rejected by the gate (that would lose the content entirely)
     gated_text = df.select(id_col, text_col).join(
         meta.select(id_col), id_col, "left_semi")
-    losers = (minhash_lsh_pairs(gated_text, text_col=text_col, id_col=id_col,
-                                threshold=near_dup_threshold)
-              .select(F.col("id_b").alias(id_col)).distinct())
+    pairs = minhash_lsh_pairs(gated_text, text_col=text_col, id_col=id_col,
+                              threshold=near_dup_threshold)
+    if near_dup_policy == "components":
+        comp = connected_components(pairs)
+        losers = (comp.filter(F.col("id") != F.col("component"))
+                  .select(F.col("id").alias(id_col)))
+    elif near_dup_policy == "pairwise":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(
+            f"near_dup_policy must be 'pairwise' or 'components': "
+            f"{near_dup_policy}")
     return (uniq.join(losers, id_col, "left_anti")
             .select(id_col, "quality", "lang_pred"))
 

@@ -64,6 +64,25 @@ def test_connected_components(spark):
         spark.createDataFrame([], "id_a long, id_b long")).count() == 0
 
 
+def test_curate_components_policy_keeps_one_per_cluster(spark):
+    # three near-identical docs in a transitive chain: the components
+    # policy keeps exactly one survivor; pairwise keeps whatever is never
+    # a higher pair id (a superset)
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(1, base), (2, base + "x"), (3, base + "x y"),
+            (50, "the cat and the hat sat on top of the mat " * 8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept_pw = {r.doc_id for r in dedup.curate_corpus(
+        df, min_quality=0.0, langs=("en",), near_dup_threshold=0.5
+    ).collect()}
+    kept_cc = {r.doc_id for r in dedup.curate_corpus(
+        df, min_quality=0.0, langs=("en",), near_dup_threshold=0.5,
+        near_dup_policy="components").collect()}
+    assert 50 in kept_pw and 50 in kept_cc
+    assert kept_cc - {50} == {1}          # exactly one survivor
+    assert kept_cc <= kept_pw             # components is the stricter set
+
+
 def test_connected_components_random_vs_union_find(spark):
     # random graphs vs a plain union-find reference: component labels must
     # be the min id of each component, for every node that has an edge
