@@ -140,10 +140,15 @@ def main() -> int:
     # the headline — the min-of-N repeats that tame this box's 2-3x noise
     # would otherwise double-count every query into the total.
     total = round(sum(v for v in timings.values() if v > 0), 3)
+    failed = sorted(k for k, v in timings.items() if v < 0)
     out = {
         "metric": "e2e_bench_seconds",
         "value": total,
         "wall_seconds": round(time.time() - t_all, 3),
+        # a failed query records -1 in queries and is EXCLUDED from the
+        # sum — surface the names loudly so a crash never reads as a
+        # speedup
+        "failed_queries": failed,
         "unit": "sec",
         "queries": timings,
         "sf": sf,

@@ -24,12 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _parse_filter(parts: list[str]):
-    """['lang', '==', 'en'] -> ('lang', '==', typed value)."""
+    """['lang', '==', 'en'] -> ('lang', '==', typed value).
+
+    Numeric-looking values coerce to int/float (zone maps prune on
+    numbers); quote the value ('"007"') to force a string comparison on
+    string columns whose keys look numeric."""
     if len(parts) != 3:
         raise SystemExit(f"--filter wants: COL OP VALUE (got {parts})")
     col, op, raw = parts
     if op not in ("<", "<=", ">", ">=", "=="):
         raise SystemExit(f"--filter op must be one of < <= > >= == ({op})")
+    if len(raw) >= 2 and raw[0] == raw[-1] and raw[0] in "'\"":
+        return col, op, raw[1:-1]
     for cast in (int, float):
         try:
             return col, op, cast(raw)
@@ -69,10 +75,15 @@ def main() -> int:
     writer = df.write.mode("overwrite")
     if args.format == "csv":
         writer.option("header", "true").csv(args.output)
+        # multiLine: web text contains newlines; the writer quotes them,
+        # and a read-back without multiLine would split records at every
+        # physical newline and report a wrong count
+        n = (spark.read.option("header", "true")
+             .option("multiLine", "true").option("escape", '"')
+             .csv(args.output).count())
     else:
         writer.parquet(args.output)
-    n = spark.read.format(args.format).option("header", "true") \
-        .load(args.output).count()
+        n = spark.read.parquet(args.output).count()
     print(json.dumps({"rows_exported": n, "output": args.output,
                       "format": args.format}))
     return 0

@@ -70,17 +70,7 @@ def _with_sentinels(corpus: np.ndarray, start_pos: np.ndarray) -> np.ndarray:
     """int16 token stream with a _SEP token before each row start — paid
     once per block; every merge round then needs no boundary bookkeeping
     (a pair containing _SEP is never a merge candidate)."""
-    n = len(corpus)
-    if len(start_pos) == 0:
-        return corpus.astype(np.int16)
-    is_start = np.zeros(n, dtype=bool)
-    is_start[start_pos] = True
-    # dst[i] = i + (# sentinels inserted at positions <= i)
-    dst = np.cumsum(is_start, dtype=np.int32)
-    dst += np.arange(n, dtype=np.int32)
-    t = np.full(n + len(start_pos), _SEP, dtype=np.int16)
-    t[dst] = corpus
-    return t
+    return _with_sentinels_tokens(corpus.astype(np.int16), start_pos)
 
 
 def _train_and_tokenize(t: np.ndarray, rounds: int, per_round: int,

@@ -245,11 +245,7 @@ def decode_store(spark: SparkSession, out_dir: str,
     # commit epoch (driver-side metadata — epochs are commits, not data)
     # and each delete anti-joins only the branches older than it.
     need_seq = any(d.get("n") is not None for d in deletes)
-    man_n = snap.get("manifest_n", {})
-
-    def _n_of(m: str) -> int:
-        return int(man_n[m]) if m in man_n else int(m.split("-")[1])
-
+    _n_of = lambda m: ChunkStore.manifest_commit_n(snap, m)  # noqa: E731
     commit_n: dict[str, int] = {}
     if need_seq and planning == "driver":
         import pyarrow.parquet as _pq
@@ -365,17 +361,16 @@ def decode_store(spark: SparkSession, out_dir: str,
         return fdf.join(excluded, "chunk_file", "left_anti")
 
     if planning == "distributed":
-        mans = snap["manifests"]
-        mpath = [os.path.join(store.manifests_dir, m) for m in mans]
-        if not mans:
+        mpath = {m: os.path.join(store.manifests_dir, m)
+                 for m in snap["manifests"]}
+        if not mpath:
             out = apply_deletes(scan([]), None)
         elif need_seq:
             # one branch per commit epoch, exactly like driver planning —
             # epochs come from snapshot metadata (commits, not data)
             groups: dict[int, list[str]] = {}
-            for m in mans:
-                groups.setdefault(_n_of(m), []).append(
-                    os.path.join(store.manifests_dir, m))
+            for m, p in mpath.items():
+                groups.setdefault(_n_of(m), []).append(p)
             branches = [
                 apply_deletes(scan_df(_distributed_files(g)), e)
                 for e, g in sorted(groups.items())]
@@ -383,7 +378,8 @@ def decode_store(spark: SparkSession, out_dir: str,
             for b in branches[1:]:
                 out = out.unionAll(b)
         else:
-            out = apply_deletes(scan_df(_distributed_files(mpath)), None)
+            out = apply_deletes(scan_df(_distributed_files(
+                list(mpath.values()))), None)
     elif need_seq and files:
         epochs = sorted({commit_n.get(f, 0) for f in files})
         branches = [

@@ -638,6 +638,7 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
              .distinct().localCheckpoint())
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")).localCheckpoint())
+    changed = 0
     for _ in range(max_iter):
         nb = (edges.join(labels.withColumnRenamed("id", "src"), "src")
               .select(F.col("dst").alias("id"), "component"))
@@ -654,4 +655,11 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         labels = new
         if changed == 0:
             break
+    if changed:
+        # returning a partially-converged labeling would silently merge or
+        # split clusters downstream (curation survivor selection) — fail
+        # loudly instead; with pointer jumping this needs diameter > 2^max_iter
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing)")
     return labels

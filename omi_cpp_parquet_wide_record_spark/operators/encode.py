@@ -313,7 +313,7 @@ def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
                 for f in MANIFEST_SCHEMA}
         man = pa.table(cols, schema=MANIFEST_SCHEMA)
         if manifests_dir is None:
-            yield man.to_batches(max_chunksize=1 << 20)[0]
+            yield from man.to_batches(max_chunksize=1 << 20)
             return
         # sharded mode: persist the chunk-level rows executor-side, report
         # only the pid rollup (rows counted once per pid via the first

@@ -104,6 +104,18 @@ class ChunkStore:
                 out.append(json.load(f))
         return out
 
+    @staticmethod
+    def manifest_commit_n(snap: dict, manifest_name: str) -> int:
+        """Commit (sequence) number of one manifest in a snapshot — from
+        the snapshot's manifest_n record, falling back to the number
+        encoded in pre-sharding manifest filenames. The single source of
+        truth for delete-scoping epochs (decode_store AND the owrc
+        DataSource reader)."""
+        man_n = snap.get("manifest_n", {})
+        if manifest_name in man_n:
+            return int(man_n[manifest_name])
+        return int(manifest_name.split("-")[1])
+
     def committed_pids(self) -> set[int]:
         snap = self.current_snapshot()
         return set(snap["committed_pids"]) if snap else set()

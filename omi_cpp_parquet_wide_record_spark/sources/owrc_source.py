@@ -81,11 +81,8 @@ class OwrcReader(DataSourceReader):
         deletes = store.delete_files(snap)
         commit_n: dict[str, int] = {}
         if deletes and any(d.get("n") is not None for d in deletes):
-            man_n = snap.get("manifest_n", {})
             for m in snap["manifests"]:
-                # commit number from the snapshot record; pre-sharding
-                # stores fall back to the filename-encoded number
-                n_m = int(man_n[m]) if m in man_n else int(m.split("-")[1])
+                n_m = ChunkStore.manifest_commit_n(snap, m)
                 t = pq.read_table(os.path.join(store.manifests_dir, m),
                                   columns=["chunk_file"])
                 for fname in set(t.column("chunk_file").to_pylist()):
