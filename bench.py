@@ -87,7 +87,26 @@ def main() -> int:
             min(timings["decode_web"], time.time() - t0), 3)
     assert decoded_rows == n == res.rows, (decoded_rows, n, res.rows)
 
+    # informational (outside the headline sum): the zero-shuffle encode
+    # mode — lang-only work units grouped inside each input partition, no
+    # repartition at all (the at-scale path when input splits are already
+    # sized; SCALE.md). Decode must agree with the shuffled store.
+    local_dir = f"/tmp/owr_bench_store_local_{rows}"
+    best_local, res_local = float("inf"), None
+    for _ in range(2):
+        shutil.rmtree(local_dir, ignore_errors=True)
+        t0 = time.time()
+        res_local = encode_dataframe(corpus, local_dir,
+                                     partition_by=["lang"], num_pids=64,
+                                     salt=1, colocate="local")
+        best_local = min(best_local, time.time() - t0)
+    assert decode_store(spark, local_dir).count() == n
+    shutil.rmtree(local_dir, ignore_errors=True)
+
     encode_stats = {
+        "local_seconds": round(best_local, 3),
+        "local_gbps": round(res_local.bytes_in / best_local / 1e9, 4),
+        "local_ratio": round(res_local.ratio, 3),
         "rows": res.rows,
         "bytes_in": res.bytes_in,
         "bytes_out": res.bytes_out,
