@@ -210,9 +210,9 @@ def decode_store(spark: SparkSession, out_dir: str,
     # dict.fromkeys dedupes: several delete files often share one key
     # column, and a duplicated name in decode_cols makes the mapInArrow
     # schema ambiguous downstream
-    delete_keys = list(dict.fromkeys(
-        d["key"] for d in store.delete_files(snap)
-        if d["key"] in schema.names))
+    deletes = [d for d in store.delete_files(snap)
+               if d["key"] in schema.names]
+    delete_keys = list(dict.fromkeys(d["key"] for d in deletes))
     if columns is not None:
         decode_cols = list(columns) + [k for k in delete_keys
                                        if k not in columns]
@@ -234,8 +234,6 @@ def decode_store(spark: SparkSession, out_dir: str,
             files = sorted(set(manifest.column("chunk_file").to_pylist()))
     chunks_dir = store.chunks_dir
 
-    deletes = [d for d in store.delete_files(snap)
-               if d["key"] in schema.names]
     # sequence-scoped deletes (Iceberg sequence numbers, ADVICE r2): a
     # delete committed at snapshot n applies only to data from manifests
     # committed BEFORE n, so rows re-inserted after the delete stay
@@ -291,14 +289,22 @@ def decode_store(spark: SparkSession, out_dir: str,
     # to data, so these broadcast
     from pyspark.sql import functions as F
 
+    # one keys DataFrame per delete FILE, defined once and shared by every
+    # epoch branch — building it inside apply_deletes would put E x D
+    # parquet scans + distinct aggregations in the plan (E grows with
+    # table history under streaming commits); sharing lets Spark reuse
+    # one exchange per delete file across branches
+    _delete_keys_df = [
+        (d, spark.read.parquet(
+            os.path.join(store.deletes_dir, d["file"]))
+         .select(d["key"]).distinct())
+        for d in deletes]
+
     def apply_deletes(df: DataFrame, epoch: int | None) -> DataFrame:
-        for d in deletes:
+        for d, keys in _delete_keys_df:
             if epoch is not None and d.get("n") is not None \
                     and epoch >= int(d["n"]):
                 continue   # data committed at/after the delete: not scoped
-            keys = spark.read.parquet(
-                os.path.join(store.deletes_dir, d["file"])) \
-                .select(d["key"]).distinct()
             df = df.join(F.broadcast(keys), d["key"], "left_anti")
         return df
 

@@ -177,8 +177,13 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
                .withColumn("pos", F.row_number().over(w))
                .withColumn("sz", F.count(F.lit(1)).over(
                    Window.partitionBy("id"))))
+    # the 1e-9 slack mirrors the candidate filters below: 0.55*100 is
+    # 55.000000000000007 in doubles and an unguarded ceil would shrink
+    # the prefix by one slot — enough to silently miss a true pair whose
+    # only shared shingle sits in the last prefix position
     prefix = sized.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz"))
+        F.col("pos") <= F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
         + F.lit(1))
     # two provably safe candidate prunes (both leave a SUPERSET of true
     # pairs, so the exact verify below keeps the output oracle-identical):
@@ -391,14 +396,17 @@ SIMHASH_TOKEN_CAP = 64      # tokens hash over their first 64 chars
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", seed: int = 42) -> DataFrame:
-    """(id, simhash: long) — 62-bit SimHash over the document's DISTINCT
-    word tokens.
+    """(id, simhash: long) — 62-bit SimHash over the document's word
+    tokens, BAG semantics: every token INSTANCE votes (repeated words
+    vote repeatedly — deliberately kept from r3: set-based voting
+    collapsed the shared-vocab bench corpus into thousands of false
+    near-pairs; instance counts restore discrimination).
 
     Integer-exact by construction (the mod-p trick that made MinHash/LSH
     oracle-checkable in r2): each token gets two base-257/base-263 Horner
     hashes mod p = 2^31-1, contributing 31 bits each; votes are +/-1 per
-    distinct (h1, h2) pair. Every intermediate fits in int64, so a DuckDB
-    oracle reproduces the signature bit-for-bit via list_reduce."""
+    token instance. Every intermediate fits in int64, so a DuckDB oracle
+    reproduces the signature bit-for-bit via list_reduce."""
 
     def task(batches):
         for b in batches:
@@ -519,14 +527,17 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
             expo = np.repeat(lens, lens) - 1 - pos
             terms = (cb * pw[expo]) % MOD_P            # < 2^31 each
             # segment sums: <= maxlen terms * 2^31 < 2^63 for maxlen < 2^32.
-            # reduceat quirks for empty segments (duplicate/end-of-array
-            # indices): clip the index and zero the empty docs after.
+            # reduceat over the NON-EMPTY docs' starts only — those are
+            # strictly increasing and in range, so no index clipping. (The
+            # r3 clip min(seg, len-1) silently stole the last term of the
+            # doc preceding a trailing empty doc.) Empty docs between two
+            # non-empty ones contribute zero terms, so each reduceat
+            # segment still covers exactly one document.
+            sums = np.zeros(n, dtype=np.int64)
             if len(terms):
-                idx = np.minimum(seg[:-1], len(terms) - 1)
-                sums = np.add.reduceat(terms, idx)
-            else:
-                sums = np.zeros(n, dtype=np.int64)
-            sums = np.where(lens > 0, sums, 0) % MOD_P
+                nz = np.flatnonzero(lens > 0)
+                sums[nz] = np.add.reduceat(terms, seg[:-1][nz])
+            sums %= MOD_P
             fp = (seed0 * pw[lens] + sums) % MOD_P
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()),

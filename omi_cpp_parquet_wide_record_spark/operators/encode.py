@@ -104,15 +104,25 @@ def _column_stats(arr: pa.Array) -> tuple[str | None, str | None]:
         return None, None
     import pyarrow.compute as pc
     mm = pc.min_max(arr)
-    lo, hi = mm["min"].as_py(), mm["max"].as_py()
     if pa.types.is_timestamp(t):
         # normalize to epoch MICROS regardless of the column's own unit —
         # prune_files compares filter datetimes as micros, so a ms/ns
-        # column's raw int64 would silently mis-prune (ADVICE r2 #4)
-        us = pa.timestamp("us", tz=getattr(t, "tz", None))
-        lo = pa.scalar(lo, type=t).cast(us).cast(pa.int64()).as_py()
-        hi = pa.scalar(hi, type=t).cast(us).cast(pa.int64()).as_py()
-    elif pa.types.is_date(t):
+        # column's raw int64 would silently mis-prune (ADVICE r2 #4).
+        # Integer unit math on the RAW counts (never through as_py or a
+        # checked cast: a safe ns->us cast RAISES on sub-microsecond
+        # values), and asymmetric rounding — floor the min, ceil the max
+        # — because truncating the max down could prune a chunk that
+        # holds a matching value (123.9us vs 'x > 123us').
+        scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[t.unit]
+        lo = mm["min"].cast(pa.int64()).as_py()
+        hi = mm["max"].cast(pa.int64()).as_py()
+        if t.unit == "ns":
+            lo, hi = lo // 1000, -((-hi) // 1000)
+        else:
+            lo, hi = lo * scale, hi * scale
+        return json.dumps(lo), json.dumps(hi)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if pa.types.is_date(t):
         lo = pa.scalar(lo, type=t).cast(pa.int64()).as_py()
         hi = pa.scalar(hi, type=t).cast(pa.int64()).as_py()
     return json.dumps(lo), json.dumps(hi)

@@ -99,19 +99,41 @@ def _pair_cosine_quantized(pairs: DataFrame, id_a: str, id_b: str,
     correctly-rounded from exact inputs, and the SQL oracle reproduces
     the identical value with list_dot_product over the same quantized
     lists. Summation order cannot matter because no rounding ever happens
-    in the sums."""
+    in the sums.
+
+    Rows with a null vector are dropped before the kernel (the Catalyst
+    expression this replaced produced a null cosine that the downstream
+    >= threshold filter discarded — same observable result); ragged
+    vector lengths fail loudly instead of flatten() silently misaligning
+    every row after the first bad one."""
+
+    def _flat(col, n, name):
+        lst = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        if n:
+            vl = pa.compute.min_max(lst.value_lengths())
+            if vl["min"].as_py() != vl["max"].as_py():
+                raise ValueError(
+                    f"ragged {name} vectors: lengths {vl['min']}..."
+                    f"{vl['max']} (embedding dims must be uniform)")
+        return lst.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
 
     def task(batches):
         for b in batches:
+            if b.num_rows == 0:
+                continue
+            keep = pa.compute.and_(b.column(va).is_valid(),
+                                   b.column(vb).is_valid())
+            if not pa.compute.all(keep).as_py():
+                b = b.filter(keep)
             n = b.num_rows
             if n == 0:
                 continue
             ia = b.column(id_a).to_numpy()
             ib = b.column(id_b).to_numpy()
-            fa = b.column(va).flatten().to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
-            fb = b.column(vb).flatten().to_numpy(zero_copy_only=False) \
-                .astype(np.float64)
+            fa = _flat(b.column(va), n, va)
+            fb = _flat(b.column(vb), n, vb)
             A = np.floor(fa * LSH_SCALE).astype(np.int64).reshape(n, -1)
             B = np.floor(fb * LSH_SCALE).astype(np.int64).reshape(n, -1)
             dot = np.einsum("ij,ij->i", A, B)          # exact int64

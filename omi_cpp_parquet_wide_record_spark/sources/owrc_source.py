@@ -32,6 +32,11 @@ from pyspark.sql.datasource import (
 )
 
 
+# per-python-worker cache of delete-key arrays (delete files are
+# immutable, uuid-named); size-capped as a leak guard
+_DELETE_KEY_CACHE: dict = {}
+
+
 class OwrcInputPartition(InputPartition):
     def __init__(self, path: str, deletes: list[tuple[str, str]] = ()):  # noqa: B006
         self.path = path
@@ -116,14 +121,23 @@ class OwrcReader(DataSourceReader):
         del_keys = [k for _, k in partition.deletes if k not in cols]
         table = read_chunk_file(partition.path,
                                 columns=cols + del_keys)
-        # merge-on-read equality deletes (sequence-scoped in partitions())
+        # merge-on-read equality deletes (sequence-scoped in partitions()).
+        # Delete-key arrays cache per python worker: every chunk partition
+        # applies the same few delete files, and delete files are
+        # immutable (uuid-named), so without the cache a store with F
+        # chunks and D deletes performs F x D parquet reads per scan.
         for dpath, key in partition.deletes:
             if key not in table.schema.names:
                 continue     # chunk predates the key column: nothing matches
-            keys = pq.read_table(dpath, columns=[key]).column(key)
+            ck = (dpath, key)
+            if ck not in _DELETE_KEY_CACHE:
+                if len(_DELETE_KEY_CACHE) > 256:
+                    _DELETE_KEY_CACHE.clear()
+                _DELETE_KEY_CACHE[ck] = pq.read_table(
+                    dpath, columns=[key]).column(key).combine_chunks()
             table = table.filter(
                 pc.invert(pc.is_in(table.column(key),
-                                   value_set=keys.combine_chunks())))
+                                   value_set=_DELETE_KEY_CACHE[ck])))
         # schema evolution: null-fill columns added after this chunk
         # committed (same read-time semantics as decode_store)
         from pyspark.sql.pandas.types import to_arrow_schema

@@ -43,6 +43,44 @@ def test_ngram_jaccard(spark, docs):
     assert all(r.jaccard <= 1.0 for r in pairs)
 
 
+def test_rolling_fingerprint_unaffected_by_trailing_empty_doc(spark):
+    # regression: the r3 reduceat index clip stole the last byte-term of
+    # the doc PRECEDING a trailing empty doc — fp must not depend on
+    # batch neighbors
+    df_pair = spark.createDataFrame([(1, "abcdef"), (2, "")],
+                                    ["doc_id", "text"]).coalesce(1)
+    df_solo = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
+    fp_pair = {r.id: r.fp for r in
+               dedup.rolling_fingerprints(df_pair).collect()}
+    fp_solo = {r.id: r.fp for r in
+               dedup.rolling_fingerprints(df_solo).collect()}
+    assert fp_pair[1] == fp_solo[1]
+    # scalar Horner reference for the same doc
+    p, b = 2147483647, 257
+    fp = (42 * 1000003 + 1) % p
+    for ch in b"abcdef":
+        fp = (fp * b + ch) % p
+    assert fp_pair[1] == fp
+
+
+def test_prefix_jaccard_matches_brute_force_at_awkward_threshold(spark):
+    # 0.55*sz is 55.000000000000007 in doubles at sz=100: an unguarded
+    # ceil shrinks the prefix window and can silently miss a true pair —
+    # the prefix variant must stay a superset of brute force at ANY t
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(20, 120))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.55, 0.67):
+        brute = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs(
+            df, threshold=t, n=2, max_doc_freq=None).collect()}
+        pref = {(r.id_a, r.id_b) for r in dedup.ngram_jaccard_pairs_prefix(
+            df, threshold=t, n=2).collect()}
+        assert pref == brute, (t, brute - pref, pref - brute)
+
+
 def test_connected_components(spark):
     # chain, star, isolated pair — every node labeled with the MIN id
     # reachable (the transitive fixpoint, not pairwise drop-the-higher-id)
