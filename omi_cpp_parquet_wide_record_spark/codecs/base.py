@@ -123,22 +123,40 @@ def bit_width(max_value: int) -> int:
 
 
 def pack_bits(values: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values into MSB-first ``width``-bit lanes."""
+    """Pack uint64 values into MSB-first ``width``-bit lanes.
+
+    One pass per bit position instead of a broadcast (n, width) uint64
+    matrix: the broadcast form peaked at ~72x the payload in temporaries
+    (n*width*8 bytes) on every int-codec encode; the loop keeps the peak
+    at the n*width uint8 bit plane plus one n-length uint64 scratch.
+    Byte output is identical."""
     if width == 0 or len(values) == 0:
         return b""
     v = values.astype(np.uint64, copy=False)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    n = len(v)
+    bits = np.empty((n, width), dtype=np.uint8)
+    tmp = np.empty(n, dtype=np.uint64)
+    for j in range(width):                    # MSB first
+        np.right_shift(v, np.uint64(width - 1 - j), out=tmp)
+        np.bitwise_and(tmp, np.uint64(1), out=tmp)
+        bits[:, j] = tmp
     return np.packbits(bits.ravel()).tobytes()
 
 
 def unpack_bits(data: bytes | memoryview, n: int, width: int) -> np.ndarray:
+    """Inverse of pack_bits; same per-bit-column strategy (the reshape+
+    astype(uint64)+shift form peaked at ~131x the payload)."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
-    bits = bits.reshape(n, width).astype(np.uint64)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+    bits = bits.reshape(n, width)
+    out = np.zeros(n, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    for j in range(width):                    # MSB first
+        np.copyto(tmp, bits[:, j])            # widening copy, no alloc
+        tmp <<= np.uint64(width - 1 - j)
+        out |= tmp
+    return out
 
 
 # --------------------------------------------------------------------------

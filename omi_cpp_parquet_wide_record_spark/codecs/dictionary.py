@@ -13,15 +13,15 @@ import pyarrow as pa
 
 from omi_cpp_parquet_wide_record_spark.codecs.base import (
     Codec, bit_width, name_type, pack_bits, register, split_sections,
-    unpack_bits,
+    type_name, unpack_bits,
 )
+from omi_cpp_parquet_wide_record_spark.codecs.plain import PlainCodec
 
 
 class DictCodec(Codec):
     name = "dict"
 
     def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
-        from omi_cpp_parquet_wide_record_spark.codecs.plain import PlainCodec
         if len(arr) == 0:
             return [b"", b""], {"n": 0, "w": 0, "ndict": 0,
                                 "values": {"sections": []}}
@@ -31,18 +31,12 @@ class DictCodec(Codec):
         w = bit_width(len(values) - 1) if len(values) > 1 else 0
         vsections, vparams = PlainCodec().encode(values)
         vpayload = b"".join(vsections)
-        vparams = {**vparams, "atype": self._vtype(values.type),
+        vparams = {**vparams, "atype": type_name(values.type),
                    "sections": [len(s) for s in vsections]}
         return [pack_bits(codes, w), vpayload], {
             "n": len(arr), "w": w, "ndict": len(values), "values": vparams}
 
-    @staticmethod
-    def _vtype(t: pa.DataType) -> str:
-        from omi_cpp_parquet_wide_record_spark.codecs.base import type_name
-        return type_name(t)
-
     def decode(self, sections, params: dict) -> pa.Array:
-        from omi_cpp_parquet_wide_record_spark.codecs.plain import PlainCodec
         target = name_type(params["atype"])
         if params["n"] == 0:
             return pa.array([], type=target)
@@ -66,7 +60,6 @@ class RleCodec(Codec):
     name = "rle"
 
     def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
-        from omi_cpp_parquet_wide_record_spark.codecs.plain import PlainCodec
         n = len(arr)
         if n == 0:
             return [b"", b"", b""], {"n": 0, "nruns": 0, "wlen": 0, "wcode": 0,
@@ -83,7 +76,7 @@ class RleCodec(Codec):
         wcode = bit_width(len(values) - 1) if len(values) > 1 else 0
         wlen = bit_width(int(run_lens.max()))
         vsections, vparams = PlainCodec().encode(values)
-        vparams = {**vparams, "atype": DictCodec._vtype(values.type),
+        vparams = {**vparams, "atype": type_name(values.type),
                    "sections": [len(s) for s in vsections]}
         return [pack_bits(run_codes, wcode), pack_bits(run_lens, wlen),
                 b"".join(vsections)], {
@@ -91,7 +84,6 @@ class RleCodec(Codec):
             "values": vparams}
 
     def decode(self, sections, params: dict) -> pa.Array:
-        from omi_cpp_parquet_wide_record_spark.codecs.plain import PlainCodec
         target = name_type(params["atype"])
         if params["n"] == 0:
             return pa.array([], type=target)

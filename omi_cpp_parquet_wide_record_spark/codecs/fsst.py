@@ -282,13 +282,22 @@ def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
                                  & (np.arange(n_ids) >= 256))
         if len(demoted) == 0:
             break
-        # one-level redistribution: children inherit the demoted counts
+        # redistribution: children inherit the demoted counts — cascading
+        # past already-dead children to their nearest still-alive
+        # descendants (a one-level push stranded counts on dead ids, so
+        # the leaves a demoted symbol will actually emit were
+        # under-credited in the code competition)
         for d in demoted.tolist():
-            l_id, r_id = pairs[d - 256]
-            freq[l_id] += freq[d]
-            freq[r_id] += freq[d]
+            amt = freq[d]
             freq[d] = 0
             alive[d] = False
+            stack = list(pairs[d - 256])
+            while stack:
+                s = stack.pop()
+                if s >= 256 and not alive[s]:
+                    stack.extend(pairs[s - 256])
+                else:
+                    freq[s] += amt
 
     # every alive learned id MUST get a code (a learned symbol cannot be
     # escaped — escapes carry one literal byte); remaining slots go to the
@@ -384,7 +393,7 @@ class FsstCodec(Codec):
                 _with_sentinels(corpus, start_pos), self.rounds,
                 self.per_round, min_count)
         else:
-            # train on a strided row sample (2 MB), replay the merge program
+            # train on a strided row sample (TRAIN_BYTES), replay the merge program
             # on ~1 MB blocks — the per-round passes then run over
             # cache-resident token arrays instead of DRAM-sized ones
             row_off = starts[:-1]

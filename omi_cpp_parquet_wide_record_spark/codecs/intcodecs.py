@@ -13,8 +13,8 @@ import numpy as np
 import pyarrow as pa
 
 from omi_cpp_parquet_wide_record_spark.codecs.base import (
-    Codec, bit_width, name_type, numeric_values, pack_bits, register,
-    unpack_bits, values_to_array, zigzag, unzigzag,
+    Codec, bit_width, name_type, numeric_values, pack_bits, pack_uints,
+    register, unpack_bits, unpack_uints, values_to_array, zigzag, unzigzag,
 )
 
 _MASK = 0xFFFFFFFFFFFFFFFF
@@ -52,17 +52,13 @@ class ForCodec(Codec):
     name = "for"
 
     def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
-        v = _int_values(arr, self.name)
-        if len(v) == 0:
-            return [b""], {"n": 0, "w": 0, "ref": 0}
-        ref = int(v.min())
-        d = v.view(np.uint64) - np.uint64(ref & _MASK)
-        w = bit_width(int(d.max()))
-        return [pack_bits(d, w)], {"n": len(v), "w": w, "ref": ref}
+        # delegate the subtract-min-mod-2^64 + bitpack to base.pack_uints
+        # (one copy of the reference arithmetic; params keys identical)
+        payload, p = pack_uints(_int_values(arr, self.name))
+        return [payload], p
 
     def decode(self, sections, params: dict) -> pa.Array:
-        d = unpack_bits(sections[0], params["n"], params["w"])
-        v = (d + np.uint64(params["ref"] & _MASK)).view(np.int64)
+        v = unpack_uints(sections[0], params)
         return values_to_array(v, name_type(params["atype"]))
 
 

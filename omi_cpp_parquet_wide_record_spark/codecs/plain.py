@@ -16,13 +16,9 @@ from omi_cpp_parquet_wide_record_spark.codecs.base import (
     pack_uints, register, type_name, unpack_uints, values_to_array,
 )
 
-_NP_STORE = {
-    "bool": np.uint8, "int8": np.int8, "uint8": np.uint8,
-    "int16": np.int16, "uint16": np.uint16, "int32": np.int32,
-    "uint32": np.uint32, "int64": np.int64, "uint64": np.uint64,
-    "float32": np.float32, "float64": np.float64, "date32": np.int32,
-    "timestamp_us": np.int64, "timestamp_us_utc": np.int64, "timestamp_ns": np.int64,
-}
+# storage dtype per logical type — the single map lives in base so a new
+# logical type cannot silently miss one of two copies
+_NP_STORE = base._NP_BY_NAME
 
 
 class PlainCodec(Codec):
@@ -39,9 +35,9 @@ class PlainCodec(Codec):
             v = arr.to_numpy(zero_copy_only=False)
         else:
             v = numeric_values(arr)
-        store = v.astype(_NP_STORE[name], copy=False)
-        if name == "uint64":
-            store = numeric_values(arr).view(np.uint64)
+        # uint64 must reinterpret the int64 bit pattern, not value-cast it
+        store = v.view(np.uint64) if name == "uint64" \
+            else v.astype(_NP_STORE[name], copy=False)
         return [np.ascontiguousarray(store).tobytes()], {"n": len(arr)}
 
     def decode(self, sections, params: dict) -> pa.Array:
