@@ -13,6 +13,9 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, functions as F
 
+# one live range-partitioned cache for dense_row_index (rotated per call)
+_DENSE_INDEX_CACHE: dict[str, DataFrame] = {}
+
 
 def protocol_filter(df: DataFrame, type_col: str, keep: str) -> DataFrame:
     """O2 (ref NQ:3401-3434): early predicate drop of non-matching records —
@@ -34,28 +37,35 @@ def dense_row_index(df: DataFrame, order_col: str,
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 2)
     # persist: the count pass and the index pass must see the *same* range
-    # partitioning (RangePartitioner samples; re-running it can move rows)
+    # partitioning (RangePartitioner samples; re-running it can move rows).
+    # Rotated per callsite so repeated calls don't accumulate cached copies
+    # of the full input (the cache must outlive this function — the index
+    # pass below reads it lazily through the returned plan).
+    prev = _DENSE_INDEX_CACHE.pop("live", None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
     parted = df.repartitionByRange(n_parts, F.col(order_col)) \
                .sortWithinPartitions(order_col).persist()
+    _DENSE_INDEX_CACHE["live"] = parted
 
     def count_task(batches):
         from pyspark import TaskContext
         pid = TaskContext.get().partitionId()
-        total = 0
-        lo = None
-        for b in batches:
-            if b.num_rows and lo is None:
-                lo = b.column(order_col)[0].as_py()
-            total += b.num_rows
+        total = sum(b.num_rows for b in batches)
         yield pa.RecordBatch.from_pydict(
-            {"part": [pid], "cnt": [total],
-             "lo": [int(lo) if lo is not None else None]},
-            schema=pa.schema([("part", pa.int32()), ("cnt", pa.int64()),
-                              ("lo", pa.int64())]))
+            {"part": [pid], "cnt": [total]},
+            schema=pa.schema([("part", pa.int32()), ("cnt", pa.int64())]))
 
+    # RangePartitioner assigns ascending key ranges to ascending partition
+    # ids, so partition id IS the range order — no need to materialize a
+    # per-partition min (which also forced the order column through int()
+    # and crashed for timestamp/string order columns)
     counts = sorted(
-        parted.mapInArrow(count_task, "part int, cnt long, lo long").collect(),
-        key=lambda r: (r["lo"] is None, r["lo"] or 0))
+        parted.mapInArrow(count_task, "part int, cnt long").collect(),
+        key=lambda r: r["part"])
     offsets = {}
     acc = 0
     for r in counts:
@@ -102,9 +112,12 @@ def sequence_rewrite(df: DataFrame, id_col: str) -> DataFrame:
     """O6 (ref NQ:3457 + NQ:157-159): per-message sequence = header sequence
     + message index, *including* the first message (the reference's observed
     off-by-one, preserved). Pure column arithmetic after the explode."""
-    i = F.col(id_col)
-    header_seq = (i.cast("long") / 4).cast("long") * 7 + 1
-    message_index = F.pmod(i.cast("long"), F.lit(4)) + 1
+    i = F.col(id_col).cast("long")
+    message_index = F.pmod(i, F.lit(4)) + 1
+    # arithmetic shift = EXACT floor division by 4 for every int64 —
+    # `/` on longs is DOUBLE division (inexact past 2^53, truncates toward
+    # zero for negatives, disagreeing with pmod's floor bucketing)
+    header_seq = F.shiftright(i, 2) * 7 + 1
     return df.withColumns({
         "message_index": message_index.cast("int"),
         "message_sequence": (header_seq + message_index).cast("long"),
@@ -160,12 +173,19 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     quadratic candidate pairs (the common OLAP pattern for trades/quotes
     and slowly-changing enrichment)."""
     ltypes, rtypes = dict(left.dtypes), dict(right.dtypes)
-    l = left.withColumn("__side", F.lit(1))
-    for c in right_cols:
-        l = l.withColumn(f"{c}{suffix}", F.lit(None).cast(rtypes[c]))
-    r = right.select(key, ts, *right_cols).withColumn("__side", F.lit(0))
-    for c in right_cols:
-        r = r.withColumnRenamed(c, f"{c}{suffix}")
+    # the carried payload is ONE STRUCT per right row, null only on left
+    # rows: last(ignorenulls) then skips exactly the left rows. Carrying
+    # the right columns individually skipped right rows whose VALUE was
+    # null — returning a stale older value instead of the latest row's
+    # null, and potentially mixing columns from different right rows.
+    pack_t = "struct<" + ", ".join(
+        f"`{c}`:{rtypes[c]}" for c in right_cols) + ">"
+    l = left.withColumn("__side", F.lit(1)) \
+            .withColumn("__asof", F.lit(None).cast(pack_t))
+    r = (right.select(key, ts, *right_cols)
+         .withColumn("__side", F.lit(0))
+         .withColumn("__asof", F.struct(*[F.col(c) for c in right_cols]))
+         .drop(*right_cols))
     for c in left.columns:
         if c not in (key, ts):
             r = r.withColumn(c, F.lit(None).cast(ltypes[c]))
@@ -174,8 +194,8 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     w = (Window.partitionBy(key)
          .orderBy(F.col(ts).asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    out = merged
+    out = merged.withColumn("__asof",
+                            F.last("__asof", ignorenulls=True).over(w))
     for c in right_cols:
-        out = out.withColumn(f"{c}{suffix}",
-                             F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return out.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__asof.{c}"))
+    return out.filter(F.col("__side") == 1).drop("__side", "__asof")

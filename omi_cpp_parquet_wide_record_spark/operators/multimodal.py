@@ -162,21 +162,38 @@ def media_features(df: DataFrame, media_col: str = "media",
                 continue
             w, h, body_off, corpus = _decode_batch(b.column(media_col))
             npix = w * h
+            nz = npix > 0
             seg = np.zeros(len(ids) + 1, dtype=np.int64)
             np.cumsum(npix, out=seg[1:])
             pos = np.arange(int(seg[-1]), dtype=np.int64) \
                 - np.repeat(seg[:-1], npix)
             pix = corpus[np.repeat(body_off, npix) + pos].astype(np.float64)
-            sums = np.add.reduceat(pix, seg[:-1])
-            means = sums / npix
-            sq = np.add.reduceat(pix * pix, seg[:-1])
-            stds = np.sqrt(np.maximum(sq / npix - means * means, 0.0))
+            # reduceat over the NON-EMPTY segments only: a zero-area image
+            # (w*h == 0 is a legal payload) would otherwise crash reduceat
+            # at the array end or silently absorb its neighbor's first
+            # pixel; empty images get deterministic zero stats
+            sums = np.zeros(len(ids))
+            sq = np.zeros(len(ids))
+            if len(pix):
+                sums[nz] = np.add.reduceat(pix, seg[:-1][nz])
+                sq[nz] = np.add.reduceat(pix * pix, seg[:-1][nz])
+            div = np.maximum(npix, 1)
+            means = sums / div
+            stds = np.sqrt(np.maximum(sq / div - means * means, 0.0))
 
-            small = _sample_grid(w, h, body_off, corpus, 8, 8) \
-                .astype(np.float64)
-            bits = (small > small.mean(axis=(1, 2))[:, None, None]) \
-                .astype(np.uint64).reshape(len(ids), 64)
-            phash = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+            # sample the grid with empty rows redirected to a safe 1x1
+            # window at offset 0, then zero their hash after
+            gw, gh = np.maximum(w, 1), np.maximum(h, 1)
+            goff = np.where(nz, body_off, 0)
+            if len(corpus):
+                small = _sample_grid(gw, gh, goff, corpus, 8, 8) \
+                    .astype(np.float64)
+                bits = (small > small.mean(axis=(1, 2))[:, None, None]) \
+                    .astype(np.uint64).reshape(len(ids), 64)
+                phash = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
+                phash = np.where(nz, phash, np.uint64(0))
+            else:
+                phash = np.zeros(len(ids), dtype=np.uint64)
 
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()),
@@ -213,8 +230,17 @@ def resize_media(df: DataFrame, out_w: int = 8, out_h: int = 8,
             n = len(ids)
             flat = np.empty((n, row_len), dtype=np.uint8)
             flat[:, :11] = header
-            flat[:, 11:] = _sample_grid(w, h, body_off, corpus,
-                                        out_w, out_h).reshape(n, out_pix)
+            # zero-area inputs thumbnail to all-zero pixels (the safe-1x1
+            # redirect mirrors media_features)
+            nz = (w * h) > 0
+            if len(corpus):
+                flat[:, 11:] = _sample_grid(
+                    np.maximum(w, 1), np.maximum(h, 1),
+                    np.where(nz, body_off, 0), corpus,
+                    out_w, out_h).reshape(n, out_pix)
+                flat[~nz, 11:] = 0
+            else:
+                flat[:, 11:] = 0
             offs = np.arange(n + 1, dtype=np.int64) * row_len
             media = pa.Array.from_buffers(
                 pa.large_binary(), n,

@@ -123,11 +123,19 @@ class ChunkStore:
     def committed_run_ids(self) -> set[str]:
         """Every run_id in the live snapshot's manifest lineage (commits
         append parent manifests, so this covers the whole history) — the
-        epoch-level replay guard for streaming encode."""
-        m = self.manifest_table()
-        if m.num_rows == 0:
+        epoch-level replay guard for streaming encode. Reads ONLY the
+        run_id column of each manifest: the streaming sink calls this per
+        micro-batch and a full manifest_table() read grew linearly with
+        stream history."""
+        snap = self.current_snapshot()
+        if not snap:
             return set()
-        return set(m.column("run_id").to_pylist())
+        out: set[str] = set()
+        for m in snap.get("manifests", []):
+            t = pq.read_table(os.path.join(self.manifests_dir, m),
+                              columns=["run_id"])
+            out.update(t.column("run_id").to_pylist())
+        return out
 
     def manifest_table(self, snapshot: dict | None = None) -> pa.Table:
         """All manifest rows of a snapshot (default: the live one)."""

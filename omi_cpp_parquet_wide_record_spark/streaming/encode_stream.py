@@ -16,13 +16,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def tumbling_counts(events: DataFrame, ts_col: str = "ts",
                     key_col: str = "event_type",
                     window: str = "5 minutes",
-                    watermark: str = "10 minutes") -> DataFrame:
+                    watermark: str = "10 minutes",
+                    agg_col: str = "value") -> DataFrame:
     """Watermarked tumbling-window counts — the monitoring aggregate."""
     return (events
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum("value").alias("total_value"))
+                 F.sum(agg_col).alias("total_value"))
             .select(F.col("w.start").alias("w_start"), key_col, "n",
                     F.round("total_value", 4).alias("total_value")))
 
@@ -95,12 +96,43 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
     """Streaming encode: every micro-batch flows through encode_dataframe
     via foreachBatch; the snapshot commit per batch gives exactly-once
     output (replayed batches hit the resume anti-filter)."""
+    import os
+    import uuid
+
     from omi_cpp_parquet_wide_record_spark.operators.encode import (
         encode_dataframe,
     )
     from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
     src = (spark.readStream.schema(schema).format("parquet")
            .option("path", src_path).load())
+
+    # epoch ids only advance across restarts when the source offsets are
+    # checkpointed — default the checkpoint next to the store so a restarted
+    # job sees only new files (new epochs), and a true replay of an old
+    # epoch hits the run_id guard below
+    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+    _sid: dict = {}
+
+    def _stream_id() -> str:
+        """Stream identity persisted IN the checkpoint dir: epoch ids are
+        only unique within one checkpoint lineage, so a bare epoch-N
+        run_id silently DROPPED every batch of a second stream (or a
+        recreated checkpoint) whose epoch numbers collided with an
+        already-committed lineage. Restarts from the same checkpoint keep
+        the id (replays dedupe); wiping the checkpoint mints a new id —
+        re-encoding as duplicates, never as loss (Iceberg's queryId
+        semantics)."""
+        if not _sid:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            p = os.path.join(checkpoint_dir, "owr_stream_id")
+            if not os.path.exists(p):
+                tmp = p + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    f.write(uuid.uuid4().hex[:16])
+                os.replace(tmp, p)
+            with open(p) as f:
+                _sid["v"] = f.read().strip()
+        return _sid["v"]
 
     def sink(batch_df: DataFrame, epoch_id: int):
         if batch_df.isEmpty():
@@ -111,19 +143,12 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
         # pids are content-derived hashes mod N, so a *new* batch's rows can
         # collide with pids committed by earlier epochs — filtering on them
         # would silently drop data (ADVICE r1 #2).
-        run_id = f"epoch-{epoch_id}"
+        run_id = f"{_stream_id()}-epoch-{epoch_id}"
         if run_id in ChunkStore(out_dir).committed_run_ids():
             return
         encode_dataframe(batch_df, out_dir, partition_by=partition_by,
                          salt_key=salt_key, num_pids=num_pids,
                          run_id=run_id, resume=False)
-
-    # epoch ids only advance across restarts when the source offsets are
-    # checkpointed — default the checkpoint next to the store so a restarted
-    # job sees only new files (new epochs), and a true replay of an old
-    # epoch hits the run_id guard above
-    import os
-    checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
     return (src.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).queryName(query_name).start())

@@ -26,7 +26,10 @@ def _session_fn(gap_us: int):
             last_us, n_events, n_sessions = None, 0, 0
         ts = []
         for pdf in pdfs:
-            col = pdf["ts"]
+            # NaT would alias to INT64_MIN micros and silently poison the
+            # session math (phantom sessions, corrupted last_us) — there
+            # is no watermark here to drop null timestamps upstream
+            col = pdf["ts"].dropna()
             v = col.astype("int64").to_numpy()
             # pandas datetime64[ns]/[us] -> micros
             if str(col.dtype).endswith("[ns]"):

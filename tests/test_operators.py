@@ -81,6 +81,39 @@ def test_prefix_jaccard_matches_brute_force_at_awkward_threshold(spark):
         assert pref == brute, (t, brute - pref, pref - brute)
 
 
+def test_asof_join_carries_latest_rows_null_value(spark):
+    # regression: last(ignorenulls) over individual value columns skipped
+    # right rows whose VALUE was null, returning a stale older value; the
+    # struct-packed carry must yield the latest row's actual (null) value
+    from omi_cpp_parquet_wide_record_spark.operators.etl import asof_join
+    left = spark.createDataFrame([("k", 30), ("k", 15)], ["key", "ts"])
+    right = spark.createDataFrame(
+        [("k", 10, 5.0), ("k", 20, None)],
+        "key string, ts int, value double")
+    got = {r.ts: r.value_asof for r in asof_join(
+        left, right, "key", "ts", ["value"]).collect()}
+    assert got[15] == 5.0          # latest right row at ts<=15 is (10, 5.0)
+    assert got[30] is None         # latest right row at ts<=30 is (20, NULL)
+
+
+def test_dense_row_index_timestamp_order_column(spark):
+    # the counter must work over ANY orderable column (the r3 count pass
+    # forced the per-partition min through int() and crashed on timestamps)
+    import datetime
+    from omi_cpp_parquet_wide_record_spark.operators.etl import (
+        dense_row_index,
+    )
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [(i, base + datetime.timedelta(seconds=i * 7 % 100))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, t timestamp")
+    out = dense_row_index(df, "t", "rn").collect()
+    assert sorted(r.rn for r in out) == list(range(1, 101))
+    by_rn = sorted(out, key=lambda r: r.rn)
+    ts = [r.t for r in by_rn]
+    assert ts == sorted(ts)        # index follows the order column
+
+
 def test_connected_components(spark):
     # chain, star, isolated pair — every node labeled with the MIN id
     # reachable (the transitive fixpoint, not pairwise drop-the-higher-id)
