@@ -956,13 +956,14 @@ def oracle_sql() -> dict[str, str]:
         "JOIN sizes sb ON sb.doc_id = id_b "
         "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5")
 
-    _occ = lambda tok: (f"CAST((length(text) - length(replace(text, "  # noqa
-                        f"'{tok}', ''))) / {len(tok)} AS BIGINT)")
-    mk = {lang: " + ".join(_occ(f" {m} ") for m in toks)
+    # whole-word regexp counts, mirroring text.word_count (RE2 and Java
+    # regex agree on \b for ASCII words)
+    _occ = lambda w: f"len(regexp_extract_all(text, '\\b{w}\\b'))"  # noqa
+    mk = {lang: " + ".join(_occ(m) for m in toks)
           for lang, toks in
           [("en", ["the", "and", "of"]), ("de", ["der", "und", "die"]),
            ("fr", ["le", "et", "les"]), ("es", ["el", "de", "los"])]}
-    stop = " + ".join(_occ(f" {w} ")
+    stop = " + ".join(_occ(w)
                       for w in ["the", "a", "of", "and", "to", "in", "is",
                                 "on", "for"])
     ws_tokens = r"len(regexp_split_to_array(text, '\s+'))"

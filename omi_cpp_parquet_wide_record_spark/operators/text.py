@@ -30,11 +30,16 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for"]
 
 
-def occurrence_count(text: Column, token: str) -> Column:
-    """#occurrences of a literal token, JVM-side: length difference trick."""
-    return ((F.length(text) -
-             F.length(F.replace(text, F.lit(token), F.lit("")))) /
-            F.lit(len(token))).cast("long")
+def word_count(text: Column, word: str) -> Column:
+    """#whole-word occurrences, JVM-side regexp with word boundaries.
+
+    Replaces the r2 space-padded length-difference trick, which missed
+    tokens at string start/end and undercounted ADJACENT stopwords (a
+    non-overlapping replace of ' of ' consumed the space that delimited
+    the following ' the '). Zero-width \\b matches have no overlap
+    problem; both Java regex (Spark) and RE2 (the DuckDB oracle) support
+    it identically for ASCII words."""
+    return F.regexp_count(text, F.lit(rf"\b{word}\b")).cast("long")
 
 
 def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
@@ -43,8 +48,7 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
     The greatest/when cascade keeps ties deterministic (first lang in dict
     order wins at equal score)."""
     markers = markers or LANG_MARKERS
-    scores = {lang: sum_cols([occurrence_count(text, f" {m} ")
-                              for m in toks])
+    scores = {lang: sum_cols([word_count(text, m) for m in toks])
               for lang, toks in markers.items()}
     best = F.greatest(*scores.values()) if len(scores) > 1 \
         else next(iter(scores.values()))
@@ -83,7 +87,7 @@ def punct_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     sw = stopwords or STOPWORDS_EN
-    hits = sum_cols([occurrence_count(text, f" {w} ") for w in sw])
+    hits = sum_cols([word_count(text, w) for w in sw])
     return trunc6(hits / F.greatest(token_count_ws(text), F.lit(1)))
 
 

@@ -2,10 +2,12 @@
 
 The engine's upgrade of the reference's round-trip smoke test (write then
 read-back then print, ref NQ:3846-3848): instead of eyeballing a CSV dump,
-join the decoded table to the source on the key and demand null-safe
-equality on every column — including the byte-identical extracted-text-per-
-url invariant (BASELINE.json input_hint). Runs as a Spark job: one join
-(sort-merge or broadcast per Catalyst), one aggregate, no driver data.
+full-outer-join the decoded table to the source on the key and demand
+null-safe equality on every column — including the byte-identical
+extracted-text-per-url invariant (BASELINE.json input_hint). ONE Spark job:
+a single join + aggregate computes row counts, join coverage, per-column
+mismatches, AND key-uniqueness diagnostics — the r3 shape ran three
+actions, re-executing the full decode once per count.
 """
 
 from __future__ import annotations
@@ -21,6 +23,10 @@ class VerifyResult:
     rows_decoded: int
     rows_joined: int
     mismatches: dict[str, int]
+    # rows of the cross-product inflation when the key is NOT unique —
+    # nonzero means per-column mismatch counts compare cross-matched pairs
+    # and ok=False may be spurious (pick a unique key)
+    duplicate_key_rows: int = 0
 
     @property
     def ok(self) -> bool:
@@ -31,20 +37,40 @@ class VerifyResult:
 def verify_roundtrip(original: DataFrame, decoded: DataFrame,
                      key: str) -> VerifyResult:
     cols = [c for c in original.columns]
-    o = original.select([F.col(c).alias(f"o_{c}") for c in cols])
-    d = decoded.select([F.col(c).alias(f"d_{c}") for c in cols])
-    joined = o.join(d, F.col(f"o_{key}") == F.col(f"d_{key}"), "inner")
-    aggs = [F.count(F.lit(1)).alias("__n")]
+    o = original.select([F.col(c).alias(f"o_{c}") for c in cols]) \
+        .withColumn("__o", F.lit(1))
+    d = decoded.select([F.col(c).alias(f"d_{c}") for c in cols]) \
+        .withColumn("__d", F.lit(1))
+    # eqNullSafe join: null keys still pair up (a bare == would silently
+    # exclude them from every column comparison)
+    joined = o.join(d, F.col(f"o_{key}").eqNullSafe(F.col(f"d_{key}")),
+                    "full_outer")
+    aggs = [
+        F.sum(F.when(F.col("__o").isNotNull(), 1).otherwise(0))
+        .alias("__o_pairs"),
+        F.sum(F.when(F.col("__d").isNotNull(), 1).otherwise(0))
+        .alias("__d_pairs"),
+        F.sum(F.when(F.col("__o").isNotNull() & F.col("__d").isNotNull(),
+                     1).otherwise(0)).alias("__joined"),
+        F.count_distinct(F.when(F.col("__o").isNotNull(),
+                                F.col(f"o_{key}"))).alias("__o_keys"),
+    ]
     for c in cols:
-        # null-safe inequality per column; binary/timestamp compare exact
+        # null-safe inequality per column over MATCHED pairs only;
+        # binary/timestamp compare exact
         aggs.append(F.sum(
-            F.when(F.col(f"o_{c}").eqNullSafe(F.col(f"d_{c}")), 0).otherwise(1)
-        ).alias(c))
+            F.when(F.col("__o").isNull() | F.col("__d").isNull(), 0)
+            .when(F.col(f"o_{c}").eqNullSafe(F.col(f"d_{c}")), 0)
+            .otherwise(1)).alias(c))
     row = joined.agg(*aggs).collect()[0].asDict()
-    joined_n = row.pop("__n")
+    o_pairs = int(row.pop("__o_pairs") or 0)
+    d_pairs = int(row.pop("__d_pairs") or 0)
+    joined_n = int(row.pop("__joined") or 0)
+    o_keys = int(row.pop("__o_keys") or 0)
     return VerifyResult(
-        rows_expected=original.count(),
-        rows_decoded=decoded.count(),
+        rows_expected=o_pairs,
+        rows_decoded=d_pairs,
         rows_joined=joined_n,
         mismatches={k: int(v or 0) for k, v in row.items()},
+        duplicate_key_rows=max(o_pairs - o_keys, 0),
     )

@@ -30,23 +30,49 @@ from pyspark.sql import DataFrame
 
 from omi_cpp_parquet_wide_record_spark import schema as S
 from omi_cpp_parquet_wide_record_spark.codecs.base import bytes_block
-from omi_cpp_parquet_wide_record_spark.fixtures import _TS_BASE  # noqa: F401
 
 _KIND_WIDTH = {"u8": 1, "u16": 2, "u32": 4, "u48": 6, "u64": 8}
 
 
-def _fold_be(corpus: np.ndarray, offs: np.ndarray, width: int) -> np.ndarray:
+def _fold_be(corpus: np.ndarray, offs: np.ndarray, width: int,
+             hi: int | None = None) -> np.ndarray:
     """Big-endian unsigned fold of `width` bytes at each offset (vectorized
-    over offsets — the numpy htobe*/byte-loop analogue, ref NQ:153/341/2764)."""
+    over offsets — the numpy htobe*/byte-loop analogue, ref NQ:153/341/2764).
+    ``hi`` clamps reads to the last valid corpus index (a message whose
+    declared fields run past its packet must not fault or read a
+    neighbor; in-bounds reads are unaffected)."""
     v = np.zeros(len(offs), dtype=np.uint64)
     for j in range(width):
-        v = (v << np.uint64(8)) | corpus[offs + j].astype(np.uint64)
+        idx = offs + j if hi is None else np.minimum(offs + j, hi)
+        v = (v << np.uint64(8)) | corpus[idx].astype(np.uint64)
     return v.view(np.int64)
 
 
 def parse_packets_batch(batch: pa.RecordBatch, which: str = "nasdaq",
-                        max_messages: int = 64) -> pa.RecordBatch:
-    """One Arrow batch of packets -> one Arrow batch of wide-record rows."""
+                        max_messages: int | None = None) -> pa.RecordBatch:
+    """One Arrow batch of packets -> one Arrow batch of wide-record rows.
+
+    Bounds-safe on malformed input without changing valid-capture output
+    (the scalar-parser parity tests pin bit-identity): packets shorter
+    than the 20-byte MoldUDP64 envelope emit no rows, and the message
+    walk stops at the first message that does not fit inside its packet
+    (torn-tail semantics, like the pcap framer) instead of reading the
+    next packet's bytes. The slot loop runs to the largest ACTUAL count
+    in the batch, capped by what the longest payload could physically
+    hold (>= 3 bytes per message) — a fixed 64-slot cap silently dropped
+    messages 65+ of dense packets. ``max_messages`` remains as an
+    explicit override."""
+    if isinstance(batch, pa.Table):
+        # packets_from_capture returns a Table (chunked when one capture
+        # exceeds int32 binary offsets); parse chunk-wise and recombine
+        parts = [parse_packets_batch(b, which, max_messages)
+                 for b in batch.to_batches()]
+        sch0 = S.NASDAQ_WIDE if which == "nasdaq" else S.JNX_WIDE
+        if not parts:
+            return pa.RecordBatch.from_arrays(
+                [pa.array([], type=f.type) for f in sch0], schema=sch0)
+        t = pa.Table.from_batches(parts).combine_chunks()
+        return t.to_batches()[0] if t.num_rows else parts[0]
     kinds = S.NASDAQ_PAYLOAD_KINDS if which == "nasdaq" else S.JNX_PAYLOAD_KINDS
     type_fields = (S.NASDAQ_TYPE_FIELDS if which == "nasdaq"
                    else S.JNX_TYPE_FIELDS)
@@ -63,27 +89,53 @@ def parse_packets_batch(batch: pa.RecordBatch, which: str = "nasdaq",
     starts = starts[:-1]
     n_pkt = len(lengths)
 
-    # O4: envelope — session 10B, sequence 8B BE, count 2B BE
-    sess_mat = corpus[starts[:, None] + np.arange(10)]
-    header_seq = _fold_be(corpus, starts + 10, 8)
-    count = _fold_be(corpus, starts + 18, 2)
+    # O4: envelope — session 10B, sequence 8B BE, count 2B BE. Packets
+    # shorter than the 20-byte envelope contribute no rows; their gathers
+    # are redirected to offset 0 so nothing reads out of bounds.
+    ends = starts + lengths
+    ok_env = lengths >= 20
+    if not ok_env.any():
+        return pa.RecordBatch.from_arrays(
+            [pa.array([], type=f.type) for f in sch], schema=sch)
+    safe_starts = np.where(ok_env, starts, 0)
+    sess_mat = corpus[safe_starts[:, None] + np.arange(10)]
+    header_seq = _fold_be(corpus, safe_starts + 10, 8)
+    count = np.where(ok_env, _fold_be(corpus, safe_starts + 18, 2), 0)
 
-    # O5: vectorized cursor walk — loop over message slots, not rows
+    # O5: vectorized cursor walk — loop over message slots, not rows.
+    # `remaining` zeroes out a packet the moment its next message would
+    # not fit before the packet end (lying length field / torn payload).
     cursor = starts + 20
     m_pkt, m_idx, m_type, m_body = [], [], [], []
     remaining = count.copy()
-    pkt_ids = np.arange(n_pkt, dtype=np.int64)
-    for slot in range(max_messages):
+    if max_messages is not None:
+        loop_bound = max_messages
+    else:
+        feasible = (int(lengths.max()) - 20) // 3 + 1 if n_pkt else 0
+        loop_bound = min(int(count.max()), max(feasible, 0))
+    for slot in range(loop_bound):
         active = remaining > slot
         if not active.any():
             break
         ac = np.flatnonzero(active)
+        # the 2-byte length + 1-byte type must fit before the packet end
+        headfit = cursor[ac] + 3 <= ends[ac]
+        if not headfit.all():
+            remaining[ac[~headfit]] = 0
+            ac = ac[headfit]
+            if len(ac) == 0:
+                continue
         mlen = _fold_be(corpus, cursor[ac], 2)
+        bodyfit = (mlen >= 1) & (cursor[ac] + 2 + mlen <= ends[ac])
+        if not bodyfit.all():
+            remaining[ac[~bodyfit]] = 0
+            ac, mlen = ac[bodyfit], mlen[bodyfit]
+            if len(ac) == 0:
+                continue
         m_pkt.append(ac)
         m_idx.append(np.full(len(ac), slot + 1, dtype=np.int64))
         m_type.append(corpus[cursor[ac] + 2].astype(np.int64))
         m_body.append(cursor[ac] + 3)
-        cursor = cursor.copy()
         cursor[ac] += 2 + mlen
     if not m_pkt:
         return pa.RecordBatch.from_arrays(
@@ -103,6 +155,7 @@ def parse_packets_batch(batch: pa.RecordBatch, which: str = "nasdaq",
     int_valid: dict[str, np.ndarray] = {}
     str_mat: dict[str, np.ndarray] = {}
     str_valid: dict[str, np.ndarray] = {}
+    hi = len(corpus) - 1
     for tchar, fields in type_fields.items():
         mask = m_type == ord(tchar)
         if not mask.any():
@@ -115,7 +168,8 @@ def parse_packets_batch(batch: pa.RecordBatch, which: str = "nasdaq",
                 if f not in str_mat:
                     str_mat[f] = np.full((n_msg, width), 32, dtype=np.uint8)
                     str_valid[f] = np.zeros(n_msg, dtype=bool)
-                str_mat[f][rows] = corpus[off[:, None] + np.arange(width)]
+                str_mat[f][rows] = corpus[
+                    np.minimum(off[:, None] + np.arange(width), hi)]
                 str_valid[f][rows] = True
                 off += width
             else:
@@ -123,7 +177,7 @@ def parse_packets_batch(batch: pa.RecordBatch, which: str = "nasdaq",
                 if f not in int_vals:
                     int_vals[f] = np.zeros(n_msg, dtype=np.int64)
                     int_valid[f] = np.zeros(n_msg, dtype=bool)
-                int_vals[f][rows] = _fold_be(corpus, off, w)
+                int_vals[f][rows] = _fold_be(corpus, off, w, hi)
                 int_valid[f][rows] = True
                 off += w
 

@@ -118,6 +118,16 @@ def frame_records(data: bytes) -> tuple[np.ndarray, np.ndarray,
     ns = magic in (PCAP_MAGIC_NS_LE, PCAP_MAGIC_NS_BE)
     if not big and magic not in (PCAP_MAGIC_LE, PCAP_MAGIC_NS_LE):
         raise ValueError("not a pcap file (bad magic)")
+    # linktype (global header bytes 20-24): the downstream strip assumes
+    # Ethernet framing — a DLT_LINUX_SLL / DLT_RAW capture would parse
+    # "successfully" into zero (or garbage) packets with no signal
+    if len(data) >= 24:
+        linktype = int.from_bytes(data[20:24], "big" if big else "little")
+        if linktype != LINKTYPE_ETHERNET:
+            raise ValueError(
+                f"unsupported pcap linktype {linktype} (only Ethernet/"
+                f"{LINKTYPE_ETHERNET} framing is parsed; re-capture without "
+                "-i any / raw link types)")
     corpus = np.frombuffer(data, dtype=np.uint8)
     size = len(data)
     if size < 40:
@@ -293,14 +303,31 @@ def packets_from_capture(data: bytes) -> pa.RecordBatch:
     payload = pa.Array.from_buffers(
         pa.large_binary(), len(rows),
         [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(flat.tobytes())],
-    ).cast(pa.binary())
-
-    return pa.RecordBatch.from_arrays(
-        [pa.array(rows + 1, type=pa.int64()),
-         pa.array(sec[rows], type=pa.int64()),
-         pa.array(usec[rows], type=pa.int64()),
-         payload],
-        names=["pcap_index", "pcap_sec", "pcap_usec", "payload"])
+    )
+    tbl = pa.table({
+        "pcap_index": pa.array(rows + 1, type=pa.int64()),
+        "pcap_sec": pa.array(sec[rows], type=pa.int64()),
+        "pcap_usec": pa.array(usec[rows], type=pa.int64()),
+        "payload": payload,
+    })
+    lim = (1 << 31) - 64
+    if total < lim:
+        return tbl.set_column(3, "payload", payload.cast(pa.binary()))
+    # a single capture can exceed int32 binary offsets (>2 GB of UDP
+    # payload): split at row boundaries so every slice casts safely —
+    # cast rebases the sliced large_binary offsets into fresh int32 ones
+    cuts = [0]
+    while cuts[-1] < len(rows):
+        nxt = int(np.searchsorted(out_offs, out_offs[cuts[-1]] + lim,
+                                  side="right")) - 1
+        cuts.append(max(nxt, cuts[-1] + 1))
+    parts = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        sl = tbl.slice(a, b - a)
+        parts.append(sl.set_column(
+            3, "payload",
+            sl.column("payload").combine_chunks().cast(pa.binary())))
+    return pa.concat_tables(parts)
 
 
 def read_pcap(spark: SparkSession, path: str) -> DataFrame:
@@ -323,7 +350,7 @@ def read_pcap(spark: SparkSession, path: str) -> DataFrame:
             for i in range(len(content)):
                 out = packets_from_capture(content[i].as_py())
                 if out.num_rows:
-                    yield out
+                    yield from out.to_batches()
 
     return files.mapInArrow(
         task, "pcap_index long, pcap_sec long, pcap_usec long, payload binary")
@@ -363,9 +390,9 @@ try:
 
         def read(self, partition: _PcapPartition):
             with open(partition.path, "rb") as f:
-                batch = packets_from_capture(f.read())
-            if batch.num_rows:
-                yield batch
+                tbl = packets_from_capture(f.read())
+            if tbl.num_rows:
+                yield from tbl.to_batches()
 
     class PcapDataSource(DataSource):
         """spark.read.format("pcap").load(path): one task per capture file

@@ -187,7 +187,8 @@ def test_frame_walk_vectorized_speed_and_parity():
     rng = np.random.default_rng(11)
     n = 100_000
     plens = rng.choice([60, 74, 74, 118, 246], size=n)
-    buf = bytearray(b"\xd4\xc3\xb2\xa1" + bytes(20))
+    buf = bytearray(b"\xd4\xc3\xb2\xa1" + bytes(16)
+                    + (1).to_bytes(4, "little"))   # linktype: Ethernet
     for i in range(n):
         L = int(plens[i])
         buf += ((1_700_000_000 + i // 977).to_bytes(4, "little")
@@ -248,7 +249,8 @@ def test_frame_walk_fallback_on_clock_jump_and_zero_len():
         _scalar_walk, frame_records,
     )
     rng = np.random.default_rng(3)
-    buf = bytearray(b"\xd4\xc3\xb2\xa1" + bytes(20))
+    buf = bytearray(b"\xd4\xc3\xb2\xa1" + bytes(16)
+                    + (1).to_bytes(4, "little"))   # linktype: Ethernet
     n = 4000
     for i in range(n):
         if i % 7 == 3:

@@ -87,6 +87,46 @@ def test_packet_parse_matches_wide_fixture(which):
     assert parsed.equals(wide)
 
 
+def test_packet_parse_malformed_payloads_safe():
+    """Bounds safety on hostile input: truncated envelopes, lying message
+    lengths, and dense >64-message packets must neither fault nor read a
+    neighbor packet's bytes (torn-tail semantics per packet)."""
+    import numpy as np
+    import pyarrow as pa
+    from omi_cpp_parquet_wide_record_spark.operators.wide_record import (
+        parse_packets_batch,
+    )
+
+    def env(session, seq, count):
+        return (session.ljust(10)[:10].encode()
+                + seq.to_bytes(8, "big") + count.to_bytes(2, "big"))
+
+    msg = (38).to_bytes(2, "big") + b"X" + b"\x00" * 37   # order-cancel 'X'
+    payloads = [
+        b"",                                   # empty payload
+        b"short",                              # < 20B envelope
+        env("S1", 100, 2) + msg + msg,         # healthy 2-message packet
+        env("S2", 200, 3) + msg + msg,         # count LIES (3 > 2 present)
+        env("S3", 300, 1)
+        + (9999).to_bytes(2, "big") + b"X",    # message length lies
+        env("S4", 400, 100) + msg * 100,       # 100 messages (> old 64 cap)
+    ]
+    n = len(payloads)
+    b = pa.RecordBatch.from_arrays(
+        [pa.array(np.arange(1, n + 1), type=pa.int64()),
+         pa.array(np.full(n, 1_700_000_000), type=pa.int64()),
+         pa.array(np.zeros(n), type=pa.int64()),
+         pa.array(payloads, type=pa.binary())],
+        names=["pcap_index", "pcap_sec", "pcap_usec", "payload"])
+    t = pa.Table.from_batches([parse_packets_batch(b, "nasdaq")])
+    per_pkt = dict(zip(*np.unique(
+        t.column("pcap_index").to_numpy(), return_counts=True)))
+    assert per_pkt == {3: 2, 4: 2, 6: 100}, per_pkt
+    # torn packets kept what fit; sessions stay per-packet correct
+    sess = set(t.column("session").to_pylist())
+    assert sess == {"S1".ljust(10), "S2".ljust(10), "S4".ljust(10)}
+
+
 def test_packet_pipeline_spark_end_to_end(spark, tmp_path):
     """Full reference pipeline in Spark: binary capture -> dense index ->
     vectorized parse -> wide record -> columnar encode -> decode -> verify."""
