@@ -26,9 +26,14 @@ def main() -> int:
     sub.add_parser("history")
     g = sub.add_parser("gc")
     g.add_argument("--keep-last", type=int, default=1)
+    g.add_argument("--older-than", type=float, default=3600,
+                   help="only delete unreferenced files older than this "
+                        "many seconds (guards against racing an in-flight "
+                        "commit, like Iceberg's remove_orphan_files)")
     d = sub.add_parser("delete")
     d.add_argument("--key", required=True)
-    d.add_argument("--values", nargs="+", required=True, type=int)
+    d.add_argument("--values", nargs="+", required=True,
+                   help="key values; typed per the store schema")
     c = sub.add_parser("compact")
     c.add_argument("--output", required=True)
     c.add_argument("--salt-key", default=None)
@@ -48,7 +53,8 @@ def main() -> int:
 
     if args.cmd == "gc":
         from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
-        print(json.dumps(expire_snapshots(store, keep_last=args.keep_last)))
+        print(json.dumps(expire_snapshots(store, keep_last=args.keep_last,
+                                          older_than_s=args.older_than)))
         return 0
 
     from omi_cpp_parquet_wide_record_spark.session import get_spark
@@ -58,8 +64,22 @@ def main() -> int:
         from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
             delete_rows,
         )
+        # type the key values from the STORE schema — a hardcoded long
+        # mis-typed string keys into a delete that reads as null/raises
+        import pyarrow as pa
+        from pyspark.sql import functions as F
+        sch = store.arrow_schema()
+        if args.key not in sch.names:
+            raise SystemExit(f"--key {args.key} not in store schema "
+                             f"{sch.names}")
+        spark_t = {"string": "string", "large_string": "string"}.get(
+            str(sch.field(args.key).type), None)
         keys = spark.createDataFrame([(v,) for v in args.values],
-                                     f"{args.key} long")
+                                     f"{args.key} string")
+        if spark_t != "string":
+            from pyspark.sql.pandas.types import from_arrow_type
+            keys = keys.select(F.col(args.key).cast(
+                from_arrow_type(sch.field(args.key).type)))
         snap = delete_rows(args.store, keys, args.key)
         print(json.dumps({"snapshot": snap["n"],
                           "delete_files": len(snap["delete_files"])}))

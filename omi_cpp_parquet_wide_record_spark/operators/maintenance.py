@@ -23,9 +23,17 @@ def delete_rows(store_dir: str, keys: DataFrame, key_col: str,
     them.
     """
     import uuid
+    store = ChunkStore(store_dir)
+    schema_names = store.arrow_schema().names
+    if key_col not in schema_names:
+        # a typo'd key would commit a delete the readers silently ignore
+        # (decode filters delete files to known columns) — the caller
+        # would believe rows were deleted while every one stays visible
+        raise ValueError(
+            f"delete key {key_col!r} is not a column of the store "
+            f"(schema: {schema_names})")
     tbl = keys.select(key_col).distinct().toArrow()
-    return ChunkStore(store_dir).commit_deletes(
-        tbl, key_col, run_id or uuid.uuid4().hex)
+    return store.commit_deletes(tbl, key_col, run_id or uuid.uuid4().hex)
 
 
 def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
@@ -39,9 +47,15 @@ def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
     from omi_cpp_parquet_wide_record_spark.operators.encode import (
         encode_dataframe,
     )
+    if ChunkStore(out_dir).current_snapshot() is not None:
+        # commit() appends to a parent lineage: compacting INTO an
+        # existing store would duplicate every row (and inherit the old
+        # delete files) — the contract is a fresh lineage
+        raise ValueError(
+            f"compact target {out_dir} already holds a committed store; "
+            "compact into a fresh directory and swap afterwards")
     live = decode_store(spark, store_dir)
-    res = encode_dataframe(live, out_dir,
-                           salt_key=salt_key or live.columns[0],
+    res = encode_dataframe(live, out_dir, salt_key=salt_key,
                            num_pids=num_pids, resume=False)
     return {"rows": res.rows, "bytes_out": res.bytes_out,
             "chunks": ChunkStore(out_dir).metrics()["chunks"]}

@@ -5,50 +5,107 @@ A crashed run leaves chunk files no manifest references (the commit pointer
 never flipped); expired snapshots leave manifests no live snapshot
 references. Both are safe to delete because readers only ever follow
 _current -> snapshot -> manifests -> chunk files.
+
+Concurrency: like Iceberg's remove_orphan_files, orphan deletion honors an
+age threshold (``older_than_s``) — an in-flight encode/delete writes its
+chunk files, manifest shards, and delete parquet BEFORE the commit flips
+the pointer, so a GC racing that window would otherwise delete files the
+imminent commit references. The library default is 0 (tests and
+single-process callers); the maintain.py CLI defaults to one hour.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 
 from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
 
 
-def expire_snapshots(store: ChunkStore, keep_last: int = 1) -> dict:
+def _snapshot_n(name: str) -> int:
+    """Numeric commit number from a snapshot filename — lexical sorting
+    misorders history past 99999 commits (the 05d padding overflows)."""
+    try:
+        return int(name.split("-")[1].split(".")[0])
+    except (IndexError, ValueError):
+        return -1
+
+
+def _load_snapshots(store: ChunkStore) -> tuple[list[tuple[str, dict]],
+                                                list[str]]:
+    """(parsable snapshots ordered by commit number, unparsable names).
+
+    A crash can no longer leave truncated snapshot JSON (commits write
+    tmp+rename), but GC must still not be blocked by debris from older
+    stores or foreign files: unparsable snapshots are surfaced so the
+    caller can treat non-live ones as dead."""
+    good, bad = [], []
+    for name in sorted(os.listdir(store.snapshots_dir), key=_snapshot_n):
+        try:
+            with open(os.path.join(store.snapshots_dir, name)) as f:
+                good.append((name, json.load(f)))
+        except (json.JSONDecodeError, OSError):
+            bad.append(name)
+    return good, bad
+
+
+def _old_enough(path: str, older_than_s: float) -> bool:
+    if older_than_s <= 0:
+        return True
+    try:
+        return (time.time() - os.path.getmtime(path)) >= older_than_s
+    except OSError:
+        return False        # vanished concurrently: nothing to delete
+
+
+def expire_snapshots(store: ChunkStore, keep_last: int = 1,
+                     older_than_s: float = 0) -> dict:
     """Drop all but the newest `keep_last` snapshots plus any manifests and
     chunk files only they referenced. Returns a deletion report."""
-    snaps = sorted(os.listdir(store.snapshots_dir))
+    keep_last = max(int(keep_last), 0)
+    snaps, unparsable = _load_snapshots(store)
+    names = [n for n, _ in snaps]
+    live = set(names[-keep_last:] if keep_last > 0 else [])
     # the snapshot _current points to is live unconditionally — a crash
     # between snapshot-json write and the pointer flip leaves a lexically
     # newer snapshot file that _current does NOT reference; keep-last must
     # never delete the pointed-to one (ADVICE r1 #3)
-    live = set(snaps[-keep_last:])
+    current = None
     if os.path.exists(store.current_path):
         with open(store.current_path) as f:
-            live.add(f.read().strip())
-    dead = [s for s in snaps if s not in live]
-    live = sorted(live)
+            current = f.read().strip()
+        live.add(current)
+    if current is not None and current in unparsable:
+        raise ValueError(
+            f"live snapshot {current} is unreadable — refusing to GC a "
+            "broken store")
+    dead = [n for n in names if n not in live] + unparsable
+    by_name = dict(snaps)
     live_manifests: set[str] = set()
-    for name in live:
-        with open(os.path.join(store.snapshots_dir, name)) as f:
-            live_manifests.update(json.load(f)["manifests"])
+    for name in sorted(live):
+        if name in by_name:
+            live_manifests.update(by_name[name]["manifests"])
     removed_manifests = []
     for name in dead:
         os.remove(os.path.join(store.snapshots_dir, name))
     for m in os.listdir(store.manifests_dir):
-        if m not in live_manifests:
-            os.remove(os.path.join(store.manifests_dir, m))
+        p = os.path.join(store.manifests_dir, m)
+        if m not in live_manifests and _old_enough(p, older_than_s):
+            os.remove(p)
             removed_manifests.append(m)
-    orphans = remove_orphan_chunks(store)
-    removed_deletes = _remove_orphan_delete_files(store)
+    retained = [(n, s) for n, s in snaps if n in live]
+    orphans = _remove_orphan_chunks(store, retained, older_than_s)
+    removed_deletes = _remove_orphan_delete_files(store, retained,
+                                                 older_than_s)
     return {"removed_snapshots": dead,
             "removed_manifests": removed_manifests,
             "removed_orphan_chunks": orphans,
             "removed_delete_files": removed_deletes}
 
 
-def remove_orphan_chunks(store: ChunkStore) -> list[str]:
+def remove_orphan_chunks(store: ChunkStore,
+                         older_than_s: float = 0) -> list[str]:
     """Delete chunk files not referenced by ANY retained snapshot's
     manifests (failed-attempt leftovers; the commit protocol makes them
     invisible). A REPLACE commit drops old manifests from the live view,
@@ -56,27 +113,45 @@ def remove_orphan_chunks(store: ChunkStore) -> list[str]:
     travel contract still needs their chunk files — so the referenced set
     is the union over every snapshot still on disk, not just _current
     (ADVICE r2 #1)."""
+    snaps, _ = _load_snapshots(store)
+    return _remove_orphan_chunks(store, snaps, older_than_s)
+
+
+def _remove_orphan_chunks(store: ChunkStore, snaps: list[tuple[str, dict]],
+                          older_than_s: float) -> list[str]:
+    import pyarrow.parquet as pq
+    # union of UNIQUE manifest names first: retained snapshots share
+    # manifests by append, so reading per snapshot was O(S x M) full
+    # manifest reads; one pruned read per unique manifest suffices
+    manifest_names = {m for _, s in snaps for m in s["manifests"]}
     referenced: set[str] = set()
-    for snap in store.snapshots():
-        referenced.update(
-            store.manifest_table(snap).column("chunk_file").to_pylist())
+    for m in manifest_names:
+        p = os.path.join(store.manifests_dir, m)
+        if not os.path.exists(p):
+            continue
+        t = pq.read_table(p, columns=["chunk_file"])
+        referenced.update(t.column("chunk_file").to_pylist())
     removed = []
     for f in os.listdir(store.chunks_dir):
-        if f not in referenced:
-            os.remove(os.path.join(store.chunks_dir, f))
+        p = os.path.join(store.chunks_dir, f)
+        if f not in referenced and _old_enough(p, older_than_s):
+            os.remove(p)
             removed.append(f)
     return removed
 
 
-def _remove_orphan_delete_files(store: ChunkStore) -> list[str]:
+def _remove_orphan_delete_files(store: ChunkStore,
+                                snaps: list[tuple[str, dict]],
+                                older_than_s: float) -> list[str]:
     """Delete equality-delete files no retained snapshot references (same
     union-over-retained-snapshots rule as chunks)."""
-    referenced = {d["file"] for snap in store.snapshots()
-                  for d in snap.get("delete_files", [])}
+    referenced = {d["file"] for _, s in snaps
+                  for d in s.get("delete_files", [])}
     removed = []
     if os.path.isdir(store.deletes_dir):
         for f in os.listdir(store.deletes_dir):
-            if f not in referenced:
-                os.remove(os.path.join(store.deletes_dir, f))
+            p = os.path.join(store.deletes_dir, f)
+            if f not in referenced and _old_enough(p, older_than_s):
+                os.remove(p)
                 removed.append(f)
     return removed

@@ -222,13 +222,22 @@ class ChunkStore:
             "stats": stats or {},
         }
         sname = f"snapshot-{n:05d}.json"
-        with open(os.path.join(self.snapshots_dir, sname), "w") as f:
-            json.dump(snap, f)
+        self._write_snapshot_json(sname, snap)
         tmp = self.current_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(sname)
         os.replace(tmp, self.current_path)   # atomic pointer flip
         return snap
+
+
+    def _write_snapshot_json(self, sname: str, snap: dict) -> None:
+        """Write-then-rename: a crash mid-write must never leave a
+        truncated snapshot JSON (readers and GC would choke on it)."""
+        dst = os.path.join(self.snapshots_dir, sname)
+        tmp = dst + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, dst)
 
     # ----------------------------------------------------------- deletes
 
@@ -265,8 +274,7 @@ class ChunkStore:
             + [{"file": dname, "key": key_col, "n": n}],
         })
         sname = f"snapshot-{n:05d}.json"
-        with open(os.path.join(self.snapshots_dir, sname), "w") as f:
-            json.dump(snap, f)
+        self._write_snapshot_json(sname, snap)
         tmp = self.current_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(sname)
