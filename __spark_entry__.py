@@ -137,16 +137,25 @@ def _ensure_capture_fixtures() -> tuple[str, str]:
     golden_jnx = os.path.join(_CAPTURE_DIR, "golden_pcap_jnx.parquet")
     if not all(os.path.exists(p) for p in
                (pcap_path, golden_pcap, golden_wide, pcap_jnx, golden_jnx)):
+        # every artifact goes through tmp+rename with a unique suffix: a
+        # crash mid-write must never leave a truncated file that the
+        # exists() guard above would then treat as a valid golden forever,
+        # and two concurrent processes must not interleave one tmp path
+        import uuid as _uuid
+
+        def _atomic_write(dst, write_fn):
+            tmp = dst + f".tmp.{_uuid.uuid4().hex[:8]}"
+            write_fn(tmp)
+            os.replace(tmp, dst)
+
         for which, cap, gp in (("nasdaq", pcap_path, golden_pcap),
                                ("jnx", pcap_jnx, golden_jnx)):
             data = FX.pcap_capture(4000, which)
-            tmp = cap + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, cap)
-            FX.write_golden_parquet(FX.reference_parse_pcap(data, which), gp)
-        FX.write_golden_parquet(FX.wide_itch_table(4000, "nasdaq"),
-                                golden_wide)
+            _atomic_write(cap, lambda t: open(t, "wb").write(data))
+            _atomic_write(gp, lambda t: FX.write_golden_parquet(
+                FX.reference_parse_pcap(data, which), t))
+        _atomic_write(golden_wide, lambda t: FX.write_golden_parquet(
+            FX.wide_itch_table(4000, "nasdaq"), t))
     return pcap_path, golden_pcap
 
 
@@ -241,6 +250,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.unix_micros("pcap_timestamp").alias("pcap_ts_us"))
     q["wide_record_parse"] = _parse_packets
 
+    def _qtag(d: str) -> str:
+        """Deterministic per-sf-dir tag for memory-sink query names —
+        hash() is salted per interpreter (PYTHONHASHSEED), so reruns
+        minted a new sink table every run and could collide mod 99999."""
+        import hashlib
+        return hashlib.sha1(d.encode()).hexdigest()[:8]
+
     # ---------------- streaming
     def _stream(s, d):
         from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
@@ -248,7 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         schema = _read(s, d, "events").schema
         out = run_stream_once(s, os.path.join(d, "events.parquet"), schema,
-                              query_name=f"owr_stream_{abs(hash(d)) % 99999}")
+                              query_name=f"owr_stream_{_qtag(d)}")
         return out.select(F.unix_micros("w_start").alias("w_start_us"),
                           "event_type", "n",
                           F.col("total_value").cast("decimal(18,2)")
@@ -262,7 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         schema = _read(s, d, "events").schema
         return run_session_stream_once(
             s, os.path.join(d, "events.parquet"), schema,
-            query_name=f"owr_sess_{abs(hash(d)) % 99999}")
+            query_name=f"owr_sess_{_qtag(d)}")
     q["streaming_session_windows"] = _session_stream
 
     def _stateful(s, d):
@@ -272,7 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         schema = _read(s, d, "events").schema
         return run_stateful_once(
             s, os.path.join(d, "events.parquet"), schema,
-            query_name=f"owr_stateful_{abs(hash(d)) % 99999}"
+            query_name=f"owr_stateful_{_qtag(d)}"
         ).select("user_id", "n_sessions", "n_events")
     q["streaming_stateful_sessionize"] = _stateful
 
@@ -282,14 +298,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (media_bytes = real octet_length of the payload; the oracle golden
         recomputes it as 11 + width*height, the fake format's exact size).
         Absorbs the former mm_metadata query."""
-        mdf = multimodal.fake_media_df(_read(s, d, "documents"))
+        # the pregenerated golden covers ids < 10000 — bound BOTH sides
+        # so the query stays oracle-checkable at every sf (at sf<=0.1 the
+        # filter is a no-op: documents has <=5000 rows)
+        mdf = multimodal.fake_media_df(
+            _read(s, d, "documents").filter(F.col("doc_id") < 10000))
         feats = multimodal.media_features(mdf)
         return feats.join(
             mdf.select("id", F.octet_length("media").cast("int")
                        .alias("media_bytes")), "id")
     q["mm_media_features"] = _mm_features
     q["mm_resize"] = lambda s, d: multimodal.resize_media(
-        multimodal.fake_media_df(_read(s, d, "documents"))
+        multimodal.fake_media_df(
+            _read(s, d, "documents").filter(F.col("doc_id") < 10000))
     ).select("id", F.md5("media").alias("resize_md5"))
 
     def _metrics(s, d):
@@ -645,10 +666,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda s, d: dedup.minhash_lsh_pairs(
         _read(s, d, "documents"), threshold=0.6)
     q["dedup_simhash"] = lambda s, d: dedup.simhash_pairs(
-        _read(s, d, "documents"), max_hamming=3)          # rows-only check
+        _read(s, d, "documents"), max_hamming=3)
 
     q["text_rolling_fingerprint"] = lambda s, d: dedup.rolling_fingerprints(
-        _read(s, d, "documents"))                         # rows-only check
+        _read(s, d, "documents"))
 
     # ---------------- text analysis
     q["text_profile"] = lambda s, d: text.text_profile(
@@ -1196,6 +1217,10 @@ def oracle_sql() -> dict[str, str]:
         "d0 AS (SELECT doc_id, text FROM documents "
         "WHERE length(text) >= 5)",
         "d0 AS (SELECT doc_id, text FROM gated WHERE length(text) >= 5)")
+    # a reworded d0 clause would make the replace a silent no-op and
+    # un-gate the near-dup subquery — fail loudly instead
+    assert _minhash_on_gated != sql["dedup_minhash_lsh"], \
+        "corpus_curation oracle: minhash d0 substitution did not apply"
     sql["corpus_curation"] = (
         "WITH prof AS (SELECT doc_id, text, "
         f"{quality_expr} AS quality, {lang_case} AS lang_pred "
@@ -1297,10 +1322,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT id, width, height, mean, std, phash, "
         "CAST(11 + width * height AS INT) AS media_bytes "
         f"FROM read_parquet('{golden_media}') "
-        "WHERE id IN (SELECT doc_id FROM documents)")
+        "WHERE id IN (SELECT doc_id FROM documents WHERE doc_id < 10000)")
     sql["mm_resize"] = (
         f"SELECT id, resize_md5 FROM read_parquet('{golden_media}') "
-        "WHERE id IN (SELECT doc_id FROM documents)")
+        "WHERE id IN (SELECT doc_id FROM documents WHERE doc_id < 10000)")
 
     # the engine's manifest bytes_in accounting vs an independent
     # recomputation of the plain-equivalent sizes (int64 = 8/row,
@@ -1322,8 +1347,10 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_tumbling_counts"] = (
         "SELECT epoch_us(time_bucket(INTERVAL '5 minutes', ts)) AS w_start_us,"
         " event_type, count(*) AS n, "
-        "CAST(CAST(sum(value) AS DECIMAL(18,2)) AS DOUBLE) "
-        "AS total_value "
+        # mirror the Spark side exactly: per-value DECIMAL(18,4) cast,
+        # exact decimal sum, then the wrapper's DECIMAL(18,2) display cast
+        "CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) "
+        "AS DECIMAL(18,2)) AS DOUBLE) AS total_value "
         "FROM events GROUP BY 1, 2")
 
     return sql

@@ -61,55 +61,6 @@ def _zipf_cdf(n: int, a: float) -> np.ndarray:
     return np.cumsum(p / p.sum())
 
 
-_HEXD = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
-
-
-def _hex_fixed(vals: np.ndarray, width: int) -> np.ndarray:
-    """uint64 array -> (n, width) uint8 hex chars, lowest nibbles."""
-    out = np.empty((len(vals), width), dtype=np.uint8)
-    v = vals.astype(np.uint64)
-    for i in range(width):
-        out[:, width - 1 - i] = _HEXD[(v >> np.uint64(4 * i)) & np.uint64(0xF)]
-    return out
-
-
-def _assemble(parts: list[np.ndarray | bytes], n: int) -> pa.Array:
-    """Concatenate per-row byte pieces (each either a (n, w) uint8 matrix, a
-    constant bytes, or a ragged (lengths, flat) tuple) into a binary array."""
-    lens = np.zeros(n, dtype=np.int64)
-    for p in parts:
-        if isinstance(p, bytes):
-            lens += len(p)
-        elif isinstance(p, tuple):
-            lens += p[0]
-        else:
-            lens += p.shape[1]
-    off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(lens, out=off[1:])
-    out = np.empty(int(off[-1]), dtype=np.uint8)
-    cursor = off[:-1].copy()
-    for p in parts:
-        if isinstance(p, bytes):
-            arr = np.frombuffer(p, dtype=np.uint8)
-            out[cursor[:, None] + np.arange(len(p))] = arr
-            cursor += len(p)
-        elif isinstance(p, tuple):
-            plens, flat = p
-            # scatter ragged pieces: positions = cursor[row] + arange within
-            pos = np.repeat(cursor, plens) + (
-                np.arange(int(plens.sum())) -
-                np.repeat(np.concatenate(([0], np.cumsum(plens)[:-1])), plens))
-            out[pos] = flat
-            cursor += plens
-        else:
-            w = p.shape[1]
-            out[cursor[:, None] + np.arange(w)] = p
-            cursor += w
-    return pa.Array.from_buffers(
-        pa.large_binary(), n,
-        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(out.tobytes())])
-
-
 # ---------------------------------------------------------------- F1 corpus
 
 _N_DOMAINS = 1000
@@ -270,7 +221,6 @@ _JNX_WEIGHTS = {"A": 24, "D": 18, "E": 14, "U": 10, "F": 6, "R": 2, "H": 1,
                 "S": 1, "T": 3, "L": 1, "Y": 1}
 
 _STOCKS = [("SYM%04d" % i).encode() for i in range(200)]
-_MPIDS = [b"MPA", b"MPB ", b"MPCD", b"XY"]
 
 
 def wide_itch_batch(start: int, end: int, which: str = "nasdaq",

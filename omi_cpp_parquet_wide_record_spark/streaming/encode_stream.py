@@ -22,10 +22,15 @@ def tumbling_counts(events: DataFrame, ts_col: str = "ts",
     return (events
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+            # exact decimal accumulation (the module-wide convention): a
+            # raw double sum is order-dependent and a post-hoc round()
+            # double-rounds against any decimal consumer — Spark HALF_UP
+            # vs DuckDB rounding diverges exactly on the half boundaries
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(agg_col).alias("total_value"))
+                 F.sum(F.col(agg_col).cast("decimal(18,4)"))
+                  .cast("double").alias("total_value"))
             .select(F.col("w.start").alias("w_start"), key_col, "n",
-                    F.round("total_value", 4).alias("total_value")))
+                    "total_value"))
 
 
 def session_windows(events: DataFrame, ts_col: str = "ts",

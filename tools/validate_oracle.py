@@ -24,13 +24,15 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):           # int(inf) raises OverflowError, which
+            return repr(v)          # would be misreported as an engine error
         if v == int(v) and abs(v) < 2**53:
             return str(int(v))
         return repr(v)
     if isinstance(v, datetime.datetime):
         return v.isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):   # PySpark binary cells are
+        return bytes(v).hex()               # bytearray, not bytes
     return str(v)
 
 
