@@ -52,6 +52,9 @@ def write_pcap_header(snaplen: int = 65535) -> bytes:
 
 
 _SCALAR_CUTOFF = 256 << 10   # below this, the plain walk wins on overhead
+# int32 binary offsets cap a single payload batch; beyond it the capture
+# table chunks (module constant so tests can shrink it)
+_BINARY_OFFSET_LIMIT = (1 << 31) - 64
 
 
 def _u32_at(corpus: np.ndarray, off: np.ndarray, big: bool) -> np.ndarray:
@@ -310,7 +313,7 @@ def packets_from_capture(data: bytes) -> pa.RecordBatch:
         "pcap_usec": pa.array(usec[rows], type=pa.int64()),
         "payload": payload,
     })
-    lim = (1 << 31) - 64
+    lim = _BINARY_OFFSET_LIMIT
     if total < lim:
         return tbl.set_column(3, "payload", payload.cast(pa.binary()))
     # a single capture can exceed int32 binary offsets (>2 GB of UDP

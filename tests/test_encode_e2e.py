@@ -453,6 +453,34 @@ def test_sql_over_store_and_corruption_detection(spark, tmp_path):
         read_chunk_file(bad)
 
 
+def test_gc_age_threshold_spares_young_orphans(spark, corpus, tmp_path):
+    """older_than_s guards GC against racing an in-flight commit: a just-
+    written unreferenced chunk (what a concurrent encode produces before
+    its pointer flip) must survive a thresholded GC and die without one."""
+    from omi_cpp_parquet_wide_record_spark.plans.gc import (
+        remove_orphan_chunks,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(corpus, out, partition_by=["lang"], salt_key="url",
+                     num_pids=8, salt=2)
+    store = ChunkStore(out)
+    orphan = os.path.join(store.chunks_dir, "chunk-p99999-s0000-fresh.owrc")
+    with open(orphan, "wb") as f:
+        f.write(b"in-flight")
+    assert remove_orphan_chunks(store, older_than_s=3600) == []
+    assert os.path.exists(orphan)
+    assert remove_orphan_chunks(store, older_than_s=0) == [
+        os.path.basename(orphan)]
+    assert not os.path.exists(orphan)
+    # keep_last=0 keeps only the _current-pointed snapshot
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    encode_dataframe(corpus.limit(50), out, partition_by=["lang"],
+                     salt_key="url", num_pids=8, salt=2, resume=False)
+    rep = expire_snapshots(store, keep_last=0)
+    assert len(os.listdir(store.snapshots_dir)) == 1
+    assert decode_store(spark, out).count() > 0
+
+
 def test_gc_keeps_time_travel_chunks_after_replace(spark, tmp_path):
     """expire_snapshots(keep_last=2) after a REPLACE commit must keep the
     chunk files the retained OLD snapshot references — GC previously

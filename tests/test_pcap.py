@@ -173,6 +173,27 @@ def test_ns_resolution_magic():
         frame_records(b"\x00\x11\x22\x33" + data[4:])
 
 
+def test_capture_chunks_when_payload_exceeds_offset_limit(monkeypatch):
+    """A capture whose total UDP payload exceeds int32 binary offsets must
+    split into multiple batches instead of failing the cast — forced here
+    by shrinking the limit instead of building a real 2 GB capture."""
+    import pyarrow as pa
+    from omi_cpp_parquet_wide_record_spark import fixtures as FX
+    from omi_cpp_parquet_wide_record_spark.sources import pcap as P
+    data = FX.pcap_capture(600, "nasdaq")
+    full = P.packets_from_capture(data)
+    total = sum(len(v) for v in full.column("payload").to_pylist())
+    monkeypatch.setattr(P, "_BINARY_OFFSET_LIMIT", max(total // 4, 64))
+    chunked = P.packets_from_capture(data)
+    assert isinstance(chunked, pa.Table)
+    assert chunked.num_rows == full.num_rows
+    assert len(chunked.column("payload").chunks) >= 2
+    assert chunked.column("pcap_index").to_pylist() == \
+        full.column("pcap_index").to_pylist()
+    assert chunked.column("payload").to_pylist() == \
+        full.column("payload").to_pylist()
+
+
 def test_frame_walk_vectorized_speed_and_parity():
     """The candidate-filter + pointer-doubling framer must (a) agree
     record-for-record with the sequential reference-shape walk on a
