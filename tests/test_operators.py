@@ -444,6 +444,22 @@ def test_stream_encode_multi_batch_no_loss(spark, tmp_path):
                        num_pids=2, query_name="t_se2")
     q2.awaitTermination(120)
     assert decode_store(spark, out).count() == 200
+    # replay from the SAME checkpoint: no new files -> no new epochs ->
+    # nothing re-encoded (the stream id persisted in the checkpoint makes
+    # the run_id guard effective across restarts)
+    q3 = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                       num_pids=2, query_name="t_se3")
+    q3.awaitTermination(120)
+    assert decode_store(spark, out).count() == 200
+    # a DIFFERENT checkpoint is a new stream identity: its epoch ids
+    # collide with the first lineage's, and the bare epoch-N run_ids of
+    # r3 would have silently DROPPED all of its batches — the stream-id
+    # scoped guard re-encodes them instead (duplicates, never loss)
+    q4 = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                       num_pids=2, query_name="t_se4",
+                       checkpoint_dir=str(tmp_path / "ckpt2"))
+    q4.awaitTermination(120)
+    assert decode_store(spark, out).count() == 400
 
 
 def test_gc_keeps_pointed_snapshot(spark, tmp_path):
