@@ -316,6 +316,11 @@ def _int_scores(df: DataFrame, n_centroids: int, seed: int,
     return src.mapInArrow(task, "id long, centroid int, score long")
 
 
+# queries at or below this count take the fused broadcast-kernel path
+# (one corpus pass, one window); above it, the join-based plan
+IVF_BROADCAST_QUERY_CAP = 8192
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              nprobe: int = 2, n_centroids: int = 16,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -329,7 +334,114 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Assignment and probe selection are exact integer arithmetic (ties to
     the lower centroid id), so the whole index structure — not just the
     re-rank — is deterministic and SQL-reproducible.
-    """
+
+    Plan shape: the query side is small by contract (same contract as
+    cosine_topk's broadcast side). When it fits under
+    IVF_BROADCAST_QUERY_CAP rows it is collected ONCE (a bounded,
+    metadata-scale collect) and shipped inside the kernel closure, so the
+    whole search is ONE mapInArrow pass over the corpus — assignment,
+    probe matching, exact integer cosine, and per-batch top-k pruning
+    fused — followed by a single window for the global top-k. Per-batch
+    pruning bounds the shuffle to k rows per (query, batch): the global
+    top-k under (cosine DESC, neighbor_id ASC) is a subset of the union
+    of per-batch top-k under the same order. A larger query side falls
+    back to the join-based plan (_ivf_topk_join)."""
+    qrows = queries.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).cast("array<double>").alias("v")) \
+        .limit(IVF_BROADCAST_QUERY_CAP + 1).collect()
+    if len(qrows) <= IVF_BROADCAST_QUERY_CAP:
+        return _ivf_topk_fused(corpus, qrows, k, nprobe, n_centroids,
+                               id_col, vec_col, seed)
+    return _ivf_topk_join(corpus, queries, k, nprobe, n_centroids,
+                          id_col, vec_col, seed)
+
+
+def _ivf_topk_fused(corpus: DataFrame, qrows, k: int, nprobe: int,
+                    n_centroids: int, id_col: str, vec_col: str,
+                    seed: int, round_to: int = 4) -> DataFrame:
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int")
+    qids = np.asarray([r["id"] for r in qrows], dtype=np.int64)
+    qmat = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+    dim = qmat.shape[1]
+    cents = int_hyperplanes(dim, n_centroids, seed + 1)
+    Q = np.floor(qmat * LSH_SCALE).astype(np.int64)          # exact
+    qscores = Q @ cents.T                                    # (nq, nc) int64
+    # probe selection: top-nprobe by (score DESC, centroid ASC) — stable
+    # argsort on the negated scores keeps ties in ascending-centroid order
+    probe_cells = np.argsort(-qscores, axis=1, kind="stable")[:, :nprobe]
+    # probes_by_cell[c] = indices into qids of queries probing cell c
+    probes_by_cell = [np.nonzero(
+        (probe_cells == c).any(axis=1))[0] for c in range(n_centroids)]
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q).astype(np.float64))
+    m = 10.0 ** round_to
+
+    def task(batches):
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            nids = b.column("id").to_numpy()
+            flat = b.column("v").flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            C = np.floor(flat * LSH_SCALE).astype(np.int64).reshape(n, -1)
+            assign = (C @ cents.T).argmax(axis=1)        # first max wins
+            cnorm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
+            out_q, out_n, out_c = [], [], []
+            for c in range(n_centroids):
+                qi = probes_by_cell[c]
+                if qi.size == 0:
+                    continue
+                rows = np.nonzero(assign == c)[0]
+                if rows.size == 0:
+                    continue
+                dot = Q[qi] @ C[rows].T                  # exact int64
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.floor(
+                        dot / (qnorm[qi, None] * cnorm[None, rows]) * m) / m
+                qq = np.repeat(qids[qi], rows.size)
+                nn = np.tile(nids[rows], qi.size)
+                cc = cos.ravel()
+                keep = qq != nn                          # self-match
+                out_q.append(qq[keep]); out_n.append(nn[keep])
+                out_c.append(cc[keep])
+            if not out_q:
+                continue
+            qq = np.concatenate(out_q); nn = np.concatenate(out_n)
+            cc = np.concatenate(out_c)
+            # per-batch top-k under (cosine DESC, neighbor ASC): a proven
+            # superset of each query's global top-k under the same order
+            order = np.lexsort((nn, -cc, qq))
+            qq, nn, cc = qq[order], nn[order], cc[order]
+            starts = np.r_[0, np.nonzero(np.diff(qq))[0] + 1]
+            rank = np.arange(len(qq)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(qq)]))
+            keep = rank < k
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qq[keep], type=pa.int64()),
+                 pa.array(nn[keep], type=pa.int64()),
+                 pa.array(cc[keep], type=pa.float64())],
+                names=["query_id", "neighbor_id", "cosine"])
+
+    src = corpus.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"))
+    scored = src.mapInArrow(
+        task, "query_id long, neighbor_id long, cosine double")
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(rw))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rk"))
+
+
+def _ivf_topk_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   nprobe: int = 2, n_centroids: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   seed: int = 42) -> DataFrame:
+    """Join-based IVF probe plan for a query side too large to broadcast:
+    corpus assignment + probe selection as DataFrame joins, numpy re-rank."""
     ca = ivf_assign(corpus, n_centroids, id_col, vec_col, seed) \
         .withColumnRenamed("id", "neighbor_id")
     w = Window.partitionBy("id").orderBy(F.col("score").desc(),

@@ -584,6 +584,12 @@ def test_ivf_topk_recall(spark):
     assert res1 == res2                      # deterministic index
     recall = len(exact & res1) / len(exact)
     assert recall >= 0.5, recall             # probing 4/8 cells finds most
+    # the large-query-side join fallback must produce the identical result
+    # (row-for-row, including cosine and rank) as the fused broadcast path
+    fused = sorted(tuple(r) for r in got1.collect())
+    joined = sorted(tuple(r) for r in similarity._ivf_topk_join(
+        df, qdf, k=3, nprobe=4, n_centroids=8).collect())
+    assert fused == joined
 
 
 def test_closed_sessions_timeout_eviction(spark, tmp_path):
