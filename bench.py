@@ -3,7 +3,9 @@
 
     {"metric": "e2e_bench_seconds", "value": <sum of per-query best sec>,
      "wall_seconds": <wall incl. min-of-N repeats + setup>, "unit": "sec",
-     "queries": {<name>: sec, ...}, "sf": <sf>,
+     "queries": {<name>: sec, ...},            # min-of-N (warm allowed)
+     "queries_cold": {<name>: sec, ...},       # first call, caches dropped
+     "cold_value": <sum of cold sec>, "sf": <sf>,
      "encode": {"rows", "bytes_in", "bytes_out", "ratio", "gbps"},
      "golden": {"bytes", "beats_reference_size"}}
 
@@ -139,19 +141,44 @@ def main() -> int:
         "codec_dict_fsst_roundtrip", "codec_multi_roundtrip_events",
         "pcap_parse", "corpus_curation", "ann_ivf_topk",
     ]
+    # cold vs warm (VERDICT r3 #3): _rotate_cache reuses persisted plans
+    # across identical calls, so a bare min-of-N would report warm-cache
+    # readings for the repeated-call queries. Before each query's FIRST
+    # run every live operator cache is dropped — that run is recorded as
+    # `cold` (the number regressions are judged on); the min over all
+    # runs (warm reuse allowed, as a steady-state driver loop would see)
+    # stays in `queries` for schema compatibility.
+    from omi_cpp_parquet_wide_record_spark.operators.dedup import (
+        _LIVE_CACHES,
+    )
+
+    def _drop_live_caches():
+        for key in list(_LIVE_CACHES):
+            try:
+                _LIVE_CACHES.pop(key).unpersist(True)
+            except Exception:
+                pass
+
+    cold: dict[str, float] = {}
     for name in bench_queries:
-        # min-of-2: the box swings 2-3x between runs, and the driver
-        # records whatever single number this prints
+        # min-of-3 (first run cold): the box swings 2-3x between runs,
+        # and the driver records whatever single number this prints
         best = float("inf")
         try:
-            for _ in range(2):
+            for i in range(3):
+                if i == 0:
+                    _drop_live_caches()
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
-                best = min(best, time.time() - t0)
+                took = time.time() - t0
+                if i == 0:
+                    cold[name] = round(took, 3)
+                best = min(best, took)
             timings[name] = round(best, 3)
         except Exception as e:  # keep the bench alive; record the failure
             timings[name] = -1.0
+            cold[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)
 
     # headline value: sum of per-query best times (the steady-state e2e a
@@ -170,6 +197,14 @@ def main() -> int:
         "failed_queries": failed,
         "unit": "sec",
         "queries": timings,
+        # first-call seconds per query with all operator caches dropped —
+        # the regression-judging numbers; encode/decode_web have no plan
+        # cache so cold == their recorded first loop iteration
+        "queries_cold": cold,
+        "cold_value": round(
+            sum(v for v in cold.values() if v > 0)
+            + sum(timings.get(h, 0) for h in ("encode_web", "decode_web")
+                  if timings.get(h, 0) > 0), 3),
         "sf": sf,
         "cpus": cpus,
         "web_rows": rows,

@@ -250,7 +250,8 @@ def _assign_codes(t: np.ndarray, pairs: list[tuple[int, int]]
 
 
 def _assign_codes_from_freq(freq_full: np.ndarray,
-                            pairs: list[tuple[int, int]]
+                            pairs: list[tuple[int, int]],
+                            complete: bool = False
                             ) -> tuple[np.ndarray, list[bytes], np.ndarray]:
     """Give the 255 output codes to the most frequent *final* tokens
     (learned or literal alike) and demote the rest.
@@ -271,9 +272,20 @@ def _assign_codes_from_freq(freq_full: np.ndarray,
     stable. The stream itself is never rewritten — each id (coded, escaped
     literal, or demoted) maps straight to its final byte sequence, and the
     sentinel maps to zero bytes, so the caller emits the whole chunk with a
-    single width-gather + repeat + gather chain."""
+    single width-gather + repeat + gather chain.
+
+    complete=True: `freq_full` is an ESTIMATE (training-sample counts, not
+    the real stream's), so any id the merge program can mint may appear in
+    the stream with zero sample count. Every minted learned id's count is
+    floored to 1 (an alive-but-uncoded learned id cannot be escaped — it
+    must enter the code competition and either win a code or be demoted),
+    and an encoding is built for EVERY id, not just sampled ones. Ranking
+    by sampled counts costs only ratio (marginal symbols may swap code vs
+    escape), never correctness — decode reads the same table either way."""
     n_ids = 256 + len(pairs)                   # <= 510 (< _SEP)
     freq = freq_full[:n_ids].copy()
+    if complete:
+        freq[256:n_ids] = np.maximum(freq[256:n_ids], 1)
     stream_freq = freq.copy()   # ids actually present in the final stream
     alive = np.ones(n_ids, dtype=bool)     # literals always alive for escape
     while True:
@@ -348,8 +360,10 @@ def _assign_codes_from_freq(freq_full: np.ndarray,
         # ids absent from the final stream need no encoding — and may not
         # even have one (their descendants can be uncoded); demoted ids ARE
         # in the stream (freq was only redistributed on the id space), so
-        # the guard uses the original stream counts
-        if tok >= n_ids or tok == _SEP or stream_freq[tok] == 0:
+        # the guard uses the original stream counts. With estimated counts
+        # (complete=True) every id can appear: build them all.
+        if tok >= n_ids or tok == _SEP or \
+                (not complete and stream_freq[tok] == 0):
             enc_seqs.append(b"")
             continue
         out = bytearray()
@@ -394,14 +408,31 @@ class FsstCodec(Codec):
 
         TRAIN_BYTES = TRAIN_BYTES_DEFAULT
         BLOCK_BYTES = BLOCK_BYTES_DEFAULT
+
+        # single-gather output assembly for one token block: token id ->
+        # final byte sequence (code, ESCAPE+literal, or demoted expansion;
+        # sentinels emit zero bytes, so no strip pass). Writes are purely
+        # sequential; index math stays int32 while the block fits.
+        def _assemble(p, enc_flat, enc_off, enc_w):
+            w = enc_w[p]
+            ends = np.cumsum(w, dtype=np.int64)
+            total = int(ends[-1]) if len(ends) else 0
+            it = np.int32 if total < 2**31 - 8 else np.int64
+            src = np.repeat((enc_off[p] - (ends - w)).astype(it), w)
+            src += np.arange(total, dtype=it)
+            return enc_flat[src]
+
         if len(corpus) <= BLOCK_BYTES:
             min_count = max(self.min_count, len(corpus) >> 15)
             t, pairs, _prog = _train_and_tokenize(
                 _with_sentinels(corpus, start_pos), self.rounds,
                 self.per_round, min_count)
+            table, enc_flat, enc_off, enc_w = _assign_codes_from_freq(
+                np.bincount(t, minlength=_KSPACE).astype(np.int64), pairs)
+            out = _assemble(t, enc_flat, enc_off, enc_w)
         else:
-            # train on a strided row sample (TRAIN_BYTES), replay the merge program
-            # on ~1 MB blocks — the per-round passes then run over
+            # train on a strided row sample (TRAIN_BYTES), replay the merge
+            # program on ~1 MB blocks — the per-round passes then run over
             # cache-resident token arrays instead of DRAM-sized ones
             row_off = starts[:-1]
             nz = np.flatnonzero(lengths > 0)
@@ -414,9 +445,22 @@ class FsstCodec(Codec):
                 np.arange(int(plens.sum())) - np.repeat(s_off, plens))
             sample = corpus[psrc]
             min_count = max(self.min_count, len(sample) >> 15)
-            _st, pairs, prog = _train_and_tokenize(
+            st, pairs, prog = _train_and_tokenize(
                 _with_sentinels(sample, s_off), self.rounds,
                 self.per_round, min_count)
+            # code assignment from the SAMPLE's final token frequencies
+            # (complete=True: every mintable id gets an encoding) — the
+            # assignment is then known BEFORE the replay loop, so each
+            # block is touched exactly once: round-0 -> remaining rounds ->
+            # output assembly, all while the (cache-sized) token stream is
+            # still resident. The former order (replay all blocks, global
+            # bincount, then re-read every block for assembly) streamed
+            # each block's tokens from DRAM twice more; ranking marginal
+            # code winners by sampled instead of exact counts costs ~0.1%
+            # ratio and never correctness.
+            table, enc_flat, enc_off, enc_w = _assign_codes_from_freq(
+                np.bincount(st, minlength=_KSPACE).astype(np.int64),
+                pairs, complete=True)
             # block boundaries: the first row start at/after each multiple
             # of BLOCK_BYTES (vectorized searchsorted, no per-row loop)
             row_ends = starts[1:]
@@ -429,7 +473,7 @@ class FsstCodec(Codec):
             lut = np.full(_NKEYS, -1, dtype=np.int16)
             lut16 = _round0_lut16(prog)
             rest = prog[1:] if lut16 is not None else prog
-            parts = []
+            outs = []
             for a, b in zip(cuts[:-1].tolist(), cuts[1:].tolist()):
                 lo, hi = int(starts[a]), int(starts[b])
                 if hi <= lo:
@@ -439,37 +483,12 @@ class FsstCodec(Codec):
                 tb = (_round0_raw(corpus[lo:hi], bpos, lut16)
                       if lut16 is not None
                       else _with_sentinels(corpus[lo:hi], bpos))
-                parts.append(_apply_program(tb, rest, lut))
-            if not parts:
-                parts = [_with_sentinels(corpus, start_pos)]
-            t = None
-        if t is not None:
-            parts = [t]
-        # code assignment needs only GLOBAL token frequencies — summing
-        # per-block bincounts skips concatenating the token streams, and
-        # the per-block assembly below then reads each (cache-sized)
-        # block while it is still resident instead of re-streaming a
-        # DRAM-sized concatenation (the output concat moves ~1/3 the
-        # bytes the token concat did)
-        freq = np.zeros(_KSPACE, dtype=np.int64)
-        for p in parts:
-            freq += np.bincount(p, minlength=_KSPACE)
-        table, enc_flat, enc_off, enc_w = _assign_codes_from_freq(freq, pairs)
-
-        # single-gather output assembly per block: token id -> final byte
-        # sequence (code, ESCAPE+literal, or demoted expansion; sentinels
-        # emit zero bytes, so no strip pass). Writes are purely
-        # sequential; index math stays int32 while the block fits.
-        outs = []
-        for p in parts:
-            w = enc_w[p]
-            ends = np.cumsum(w, dtype=np.int64)
-            total = int(ends[-1]) if len(ends) else 0
-            it = np.int32 if total < 2**31 - 8 else np.int64
-            src = np.repeat((enc_off[p] - (ends - w)).astype(it), w)
-            src += np.arange(total, dtype=it)
-            outs.append(enc_flat[src])
-        out = outs[0] if len(outs) == 1 else np.concatenate(outs)
+                outs.append(_assemble(_apply_program(tb, rest, lut),
+                                      enc_flat, enc_off, enc_w))
+            if not outs:   # defensive: cuts always yield >=1 block
+                outs = [_assemble(_with_sentinels(corpus, start_pos),
+                                  enc_flat, enc_off, enc_w)]
+            out = outs[0] if len(outs) == 1 else np.concatenate(outs)
 
         tab_lens = np.array([len(s) for s in table], dtype=np.uint8)
         return [tab_lens.tobytes(), b"".join(table), lens_payload,
