@@ -675,3 +675,52 @@ def test_bloom_filter_pruning_on_equality(spark, tmp_path):
     assert decode_store(spark, out,
                         filters=[("url", "==", "nope://missing")],
                         planning="distributed").count() == 0
+
+
+def test_pruning_parity_driver_vs_distributed(spark, tmp_path):
+    """Driver and distributed planning must open the SAME chunk-file set
+    for string zone-map filters and (multi-literal) bloom equality — at
+    corpus scale distributed planning is mandatory, so a plan that prunes
+    less there would quietly lose exactly the point-lookup wins."""
+    import os
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan, prune_files,
+    )
+    out = str(tmp_path / "store")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.concat(F.lit("https://example.org/page/"), F.col("id"))
+         .alias("url"),
+        F.concat(F.lit("site-"), (F.col("id") % 7).cast("string"))
+         .alias("domain"))
+    encode_dataframe(df, out, salt_key="url", num_pids=16)
+    store = ChunkStore(out)
+    snap = store.current_snapshot()
+    m = store.manifest_table(snap)
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+
+    cases = [
+        # string range: zone maps on url bounds
+        [("url", ">=", "https://example.org/page/39")],
+        [("url", "<", "https://example.org/page/1")],
+        # string equality: bloom + zone maps together
+        [("url", "==", "https://example.org/page/1234")],
+        # multi-literal conjunction (one unsatisfiable -> prunes hard)
+        [("url", "==", "https://example.org/page/1234"),
+         ("url", "==", "nope://missing")],
+        # two columns, mixed types
+        [("domain", "==", "site-3"), ("id", ">=", 2000)],
+        [("url", "==", "nope://missing")],
+    ]
+    for filters in cases:
+        drv = prune_files(m, filters)
+        dist = sorted(r.chunk_file for r in
+                      distributed_file_plan(spark, paths, filters)
+                      .collect())
+        assert drv == dist, (filters, len(drv), len(dist))
+    # a real string-pruned case must actually prune
+    assert len(prune_files(
+        m, [("url", "==", "https://example.org/page/1234")])) \
+        < len(prune_files(m, []))
