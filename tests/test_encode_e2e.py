@@ -724,3 +724,37 @@ def test_pruning_parity_driver_vs_distributed(spark, tmp_path):
     assert len(prune_files(
         m, [("url", "==", "https://example.org/page/1234")])) \
         < len(prune_files(m, []))
+
+
+def test_zero_shuffle_then_compaction_bounds_files(spark, tmp_path):
+    """Close the zero-shuffle loop: colocate='local' multiplies chunk
+    files (tasks x per-task pid groups — the price of removing the
+    full-data shuffle); compact_store must rewrite the store into a
+    pid-bounded file count with a bit-identical decode. This is the
+    at-scale maintenance cycle: stream-encode shuffle-free, compact
+    off-peak, read amplification bounded by num_pids again."""
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        compact_store,
+    )
+    corpus = FX.web_pages_df(spark, ROWS, partitions=16).cache()
+    out = str(tmp_path / "local_store")
+    encode_dataframe(corpus, out, partition_by=["lang"], num_pids=64,
+                     salt=1, colocate="local")
+    files_local = len(os.listdir(os.path.join(out, "chunks")))
+    # local mode: up to tasks x languages files — strictly more than the
+    # language count, or this test exercises nothing
+    n_langs = corpus.select("lang").distinct().count()
+    assert files_local > n_langs, (files_local, n_langs)
+
+    comp = str(tmp_path / "compacted")
+    target_pids = 8
+    compact_store(spark, out, comp, salt_key="url", num_pids=target_pids)
+    files_comp = len(os.listdir(os.path.join(comp, "chunks")))
+    # file count is bounded by the pid count (one chunk file per pid at
+    # this size — chunk_rows splitting would add a bounded factor)
+    assert files_comp <= target_pids, (files_comp, target_pids)
+    assert files_comp < files_local / 4, (files_comp, files_local)
+    v = verify_roundtrip(corpus, decode_store(spark, comp, check_sha=True),
+                         key="url")
+    assert v.ok, v
+    corpus.unpersist()

@@ -698,3 +698,53 @@ def test_ngram_prefix_ppjoin_bound_exact_random(spark):
             df, threshold=t, n=2).collect())
         assert brute == pref, t
         assert len(pref) > 0, t
+
+
+def test_stream_encode_two_interleaved_lineages(spark, tmp_path):
+    """Two independent stream lineages (own sources + checkpoints) feeding
+    ONE store, interleaved and each restarted: every batch must land
+    exactly once. Both lineages use the same small epoch numbers (0, 1,
+    ...), so a run_id guard keyed on bare epoch ids would make lineage
+    B's batches collide with A's and silently DROP them — the
+    checkpoint-persisted stream id scopes the guard per lineage, and a
+    same-checkpoint replay still dedupes within its own lineage."""
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+        stream_encode,
+    )
+    schema = "id long, s string"
+    src_a, src_b = str(tmp_path / "srcA"), str(tmp_path / "srcB")
+    ck_a, ck_b = str(tmp_path / "ckA"), str(tmp_path / "ckB")
+    out = str(tmp_path / "store")
+
+    def feed(src, lo, hi, tag):
+        spark.createDataFrame([(i, f"{tag}{i}") for i in range(lo, hi)],
+                              schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    def run(src, ck, name):
+        q = stream_encode(spark, src, spark.createDataFrame([], schema)
+                          .schema, out, salt_key="id", num_pids=2,
+                          query_name=name, checkpoint_dir=ck)
+        q.awaitTermination(120)
+
+    feed(src_a, 0, 100, "a")
+    run(src_a, ck_a, "t_l2_a0")                      # A epoch 0
+    feed(src_b, 1000, 1100, "b")
+    run(src_b, ck_b, "t_l2_b0")                      # B epoch 0 (same id!)
+    assert decode_store(spark, out).count() == 200
+    feed(src_a, 100, 150, "a")
+    feed(src_b, 1100, 1150, "b")
+    run(src_a, ck_a, "t_l2_a1")                      # A restart -> epoch 1
+    run(src_b, ck_b, "t_l2_b1")                      # B restart -> epoch 1
+    got = decode_store(spark, out)
+    assert got.count() == 300
+    # replay with no new input: nothing re-encoded in either lineage
+    run(src_a, ck_a, "t_l2_a2")
+    run(src_b, ck_b, "t_l2_b2")
+    assert decode_store(spark, out).count() == 300
+    # exactly-once, row-level: every id appears exactly once with its tag
+    rows = {(r.id, r.s) for r in got.collect()}
+    expect = {(i, f"a{i}") for i in range(150)} | \
+             {(i, f"b{i}") for i in range(1000, 1150)}
+    assert rows == expect
