@@ -360,6 +360,9 @@ def _ivf_topk_fused(corpus: DataFrame, qrows, k: int, nprobe: int,
                     n_centroids: int, id_col: str, vec_col: str,
                     seed: int, round_to: int = 4) -> DataFrame:
     spark = corpus.sparkSession
+    # null query vectors can never score (the join plan's re-rank kernel
+    # dropped such pairs); drop them here for the same observable result
+    qrows = [r for r in qrows if r["v"] is not None]
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rk int")
