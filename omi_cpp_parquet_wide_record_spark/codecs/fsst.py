@@ -62,8 +62,12 @@ _NKEYS = _KSPACE * _KSPACE
 # slightly better table (the finer stride samples more rows; min_count
 # scales down with the sample) at 1.5-1.9x the encode throughput of the
 # r2 2 MB budget; 256 KB starts to wobble the ratio on text columns.
-TRAIN_BYTES_DEFAULT = 512 << 10
-BLOCK_BYTES_DEFAULT = 1 << 20
+import os as _os
+
+TRAIN_BYTES_DEFAULT = int(_os.environ.get("OWR_FSST_TRAIN_BYTES",
+                                          512 << 10))
+BLOCK_BYTES_DEFAULT = int(_os.environ.get("OWR_FSST_BLOCK_BYTES",
+                                          1 << 20))
 
 
 def _with_sentinels(corpus: np.ndarray, start_pos: np.ndarray) -> np.ndarray:

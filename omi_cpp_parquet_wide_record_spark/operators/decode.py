@@ -65,6 +65,8 @@ _PRUNE_OPS = {
     ">": lambda lo, hi, v: hi > v,
     ">=": lambda lo, hi, v: hi >= v,
     "==": lambda lo, hi, v: lo <= v <= hi,
+    # IN-list: satisfiable if ANY member could be in the chunk
+    "in": lambda lo, hi, v: any(lo <= x <= hi for x in v),
 }
 
 
@@ -84,6 +86,21 @@ def _bloom_positions(value) -> "np.ndarray":
         hs.append(a)
     return np.array([(hs[0] + i * hs[1]) % BLOOM_BITS
                      for i in range(BLOOM_K)])
+
+
+def _bloom_literal_groups(ops) -> list[list]:
+    """Bloom-probe groups for one column's (op, value) filters: each ==
+    bytes-like literal is a singleton group; each IN list of bytes-like
+    values is one group (prune only when the WHOLE group is absent).
+    Non-bytes and empty lists yield no group (zone maps handle those)."""
+    groups: list[list] = []
+    for op, v in ops:
+        if op == "==" and isinstance(v, (str, bytes)):
+            groups.append([v])
+        elif op == "in" and isinstance(v, (list, tuple)) and v \
+                and all(isinstance(x, (str, bytes)) for x in v):
+            groups.append(list(v))
+    return groups
 
 
 def prune_files(manifest: pa.Table,
@@ -127,6 +144,9 @@ def prune_files(manifest: pa.Table,
         ">": lambda lo, hi, v: hi > v,
         ">=": lambda lo, hi, v: hi >= v,
         "==": lambda lo, hi, v: (lo <= v) & (hi >= v),
+        "in": lambda lo, hi, v: np.logical_or.reduce(
+            [(lo <= x) & (hi >= x) for x in v]) if len(v) else
+            np.zeros(len(lo), dtype=bool),
     }
     has_bloom = "bloom" in manifest.schema.names
     excluded: set[str] = set()
@@ -166,13 +186,15 @@ def prune_files(manifest: pa.Table,
                 # convert only the EXCLUDED file names to Python
                 excluded.update(srows.column("chunk_file")
                                 .filter(pa.array(bad)).to_pylist())
-        # bloom pruning for equality on bytes-like columns: min/max
+        # bloom pruning for equality/IN on bytes-like columns: min/max
         # ranges on high-cardinality strings rarely exclude anything, the
         # bitset does. Missing blooms read as "may contain". All literals
-        # for the column probe one stacked bitset matrix at once.
-        eqs = [v for op, v in ops
-               if op == "==" and isinstance(v, (str, bytes))]
-        if eqs and has_bloom:
+        # for the column probe one stacked bitset matrix at once. Group
+        # semantics: an == literal is its own group; an IN list is one
+        # group — a chunk is excluded when ANY group is WHOLLY absent
+        # (filters are a conjunction; IN needs only one member present).
+        groups = _bloom_literal_groups(ops)
+        if groups and has_bloom:
             brows = sub.filter(sub.column("bloom").is_valid())
             if brows.num_rows:
                 from omi_cpp_parquet_wide_record_spark.operators.encode \
@@ -181,26 +203,31 @@ def prune_files(manifest: pa.Table,
                 raw = b"".join(base64.b64decode(b) for b in blooms)
                 mat = np.frombuffer(raw, dtype=np.uint8).reshape(
                     len(blooms), BLOOM_BITS // 8)
-                idx = np.stack([_bloom_positions(v) for v in eqs])
+                flat = [v for g in groups for v in g]
+                goff = np.cumsum([0] + [len(g) for g in groups])
+                idx = np.stack([_bloom_positions(v) for v in flat])
                 byte_i, bit_i = idx // 8, 7 - (idx % 8)
                 bits = (mat[:, byte_i] >> bit_i[None, :, :]) & 1
-                present = bits.all(axis=2)
-                bad = (~present).any(axis=1)
+                present = bits.all(axis=2)          # (nr, sum(|g|))
+                absent = ~present
+                bad = np.zeros(len(blooms), dtype=bool)
+                for gi in range(len(groups)):
+                    bad |= absent[:, goff[gi]:goff[gi + 1]].all(axis=1)
                 if bad.any():
                     excluded.update(brows.column("chunk_file")
                                     .filter(pa.array(bad)).to_pylist())
     return sorted(f for f in files if f not in excluded)
 
 
-def _bloom_absent_multi_udf(literals: dict[str, list]):
-    """pandas_udf(column, bloom_b64) -> True where the bloom PROVES at
-    least one probed literal for that row's column absent (filters are a
-    conjunction, so one proven-absent equality literal excludes the
-    chunk). ALL literals' k bit positions are computed once driver-side
-    (mirroring encode._column_bloom exactly) and gathered per batch in
-    one matrix op per column — one scan pass for m literals, not m
-    passes (VERDICT r3 #6). The per-row part is only C-level b64decode
-    of the fixed 1 KB bitsets."""
+def _bloom_absent_multi_udf(literals: dict[str, list[list]]):
+    """pandas_udf(column, bloom_b64) -> True where the bloom PROVES some
+    probe GROUP for that row's column wholly absent (filters are a
+    conjunction: one proven-absent == literal, or an IN list with every
+    member absent, excludes the chunk). ALL groups' k bit positions are
+    computed once driver-side (mirroring encode._column_bloom exactly)
+    and gathered per batch in one matrix op per column — one scan pass
+    for m literals, not m passes (VERDICT r3 #6). The per-row part is
+    only C-level b64decode of the fixed 1 KB bitsets."""
     import base64 as _b64
 
     import numpy as np
@@ -210,11 +237,13 @@ def _bloom_absent_multi_udf(literals: dict[str, list]):
         BLOOM_BITS,
     )
 
-    # per column: (m_c, k) byte and bit index matrices
+    # per column: stacked (sum|g|, k) index matrices + group offsets
     pos = {}
-    for col, vals in literals.items():
-        idx = np.stack([_bloom_positions(v) for v in vals])    # (m_c, k)
-        pos[col] = (idx // 8, 7 - (idx % 8))   # packbits is MSB-first
+    for col, groups in literals.items():
+        flat = [v for g in groups for v in g]
+        goff = np.cumsum([0] + [len(g) for g in groups])
+        idx = np.stack([_bloom_positions(v) for v in flat])
+        pos[col] = (idx // 8, 7 - (idx % 8), goff)  # packbits is MSB-first
 
     @pandas_udf("boolean")
     def absent(columns: pd.Series, blooms: pd.Series) -> pd.Series:
@@ -224,14 +253,17 @@ def _bloom_absent_multi_udf(literals: dict[str, list]):
             n, BLOOM_BITS // 8)
         out = np.zeros(n, dtype=bool)
         cols = columns.to_numpy()
-        for col, (byte_i, bit_i) in pos.items():
+        for col, (byte_i, bit_i, goff) in pos.items():
             rows = cols == col
             if not rows.any():
                 continue
-            gb = mat[rows][:, byte_i]              # (nr, m_c, k)
+            gb = mat[rows][:, byte_i]              # (nr, sum|g|, k)
             bits = (gb >> bit_i[None, :, :]) & 1
-            present = bits.all(axis=2)             # (nr, m_c) may-contain
-            out[rows] = (~present).any(axis=1)
+            miss = ~bits.all(axis=2)               # (nr, sum|g|) absent
+            bad = np.zeros(int(rows.sum()), dtype=bool)
+            for gi in range(len(goff) - 1):
+                bad |= miss[:, goff[gi]:goff[gi + 1]].all(axis=1)
+            out[rows] = bad
         return pd.Series(out)
 
     return absent
@@ -262,10 +294,11 @@ def distributed_file_plan(spark: SparkSession, paths: list[str],
     # conjunct literal out is excluded; missing blooms conservatively
     # read as "may contain".
     if "bloom" in mdf.columns:
-        lits: dict[str, list] = {}
+        by_col: dict[str, list] = {}
         for c, op, v in filters:
-            if op == "==" and isinstance(v, (str, bytes)):
-                lits.setdefault(c, []).append(v)
+            by_col.setdefault(c, []).append((op, v))
+        lits = {c: g for c, ops in by_col.items()
+                if (g := _bloom_literal_groups(ops))}
         if lits:
             probe = _bloom_absent_multi_udf(lits)
             excl_b = (mdf.filter(F.col("column").isin(list(lits))
@@ -283,24 +316,15 @@ def distributed_file_plan(spark: SparkSession, paths: list[str],
         return F.get_json_object(
             F.concat(F.lit('{"v":'), F.col(col), F.lit('}')), "$.v")
 
-    conds = []
-    for c, op, v in filters:
+    def _num_excl(op, v):
+        """Exclusion condition for one numeric/timestamp literal (None
+        when the op or value type cannot prune soundly)."""
         if isinstance(v, datetime.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=datetime.timezone.utc)
             v = int(v.timestamp() * 1_000_000)
-        if isinstance(v, str):
-            if op not in _PRUNE_OPS:
-                continue
-            sv = F.lit(v)
-            lo, hi = _str_bound("stat_min"), _str_bound("stat_max")
-            guard = F.col("stat_min").startswith('"')
-            excl = {"<": lo >= sv, "<=": lo > sv, ">": hi <= sv,
-                    ">=": hi < sv, "==": (lo > sv) | (hi < sv)}[op]
-            conds.append((F.col("column") == c) & guard & excl)
-            continue
         if isinstance(v, bool) or not isinstance(v, (int, float)):
-            continue
+            return None
         t = "bigint" if isinstance(v, int) else "double"
         lo = F.col("stat_min").try_cast(t)
         hi = F.col("stat_max").try_cast(t)
@@ -308,8 +332,35 @@ def distributed_file_plan(spark: SparkSession, paths: list[str],
             (F.abs(lo) < F.lit(2.0 ** 53)) & (F.abs(hi) < F.lit(2.0 ** 53))
         excl = {"<": lo >= v, "<=": lo > v, ">": hi <= v,
                 ">=": hi < v, "==": (lo > v) | (hi < v)}.get(op)
+        return None if excl is None else guard & excl
+
+    def _str_excl(op, v):
+        sv = F.lit(v)
+        lo, hi = _str_bound("stat_min"), _str_bound("stat_max")
+        guard = F.col("stat_min").startswith('"')
+        excl = {"<": lo >= sv, "<=": lo > sv, ">": hi <= sv,
+                ">=": hi < sv, "==": (lo > sv) | (hi < sv)}.get(op)
+        return None if excl is None else guard & excl
+
+    conds = []
+    for c, op, v in filters:
+        if op == "in":
+            if not isinstance(v, (list, tuple)) or not v:
+                continue
+            # excluded only when EVERY member is excluded
+            members = [_str_excl("==", x) if isinstance(x, str)
+                       else _num_excl("==", x) for x in v]
+            if any(m is None for m in members):
+                continue
+            excl = members[0]
+            for m in members[1:]:
+                excl = excl & m
+        elif isinstance(v, str):
+            excl = _str_excl(op, v)
+        else:
+            excl = _num_excl(op, v)
         if excl is not None:
-            conds.append((F.col("column") == c) & guard & excl)
+            conds.append((F.col("column") == c) & excl)
     if not conds:
         return fdf
     cond = conds[0]
@@ -331,10 +382,12 @@ def decode_store(spark: SparkSession, out_dir: str,
     ``snapshot=N`` time-travels to snapshot #N (Iceberg-style as-of read);
     default is the live snapshot `_current` points to.
 
-    ``filters=[(col, op, value), ...]`` (ops: < <= > >= ==, ANDed) pushes
-    the predicate into the store: chunk files whose zone maps cannot
-    satisfy it are never opened, and the exact filter is applied to the
-    surviving rows — semantics identical to a post-hoc .filter().
+    ``filters=[(col, op, value), ...]`` (ops: < <= > >= == in, ANDed;
+    ``in`` takes a list/tuple of values) pushes the predicate into the
+    store: chunk files whose zone maps and blooms cannot satisfy it are
+    never opened (an IN list prunes a chunk only when EVERY member is
+    provably absent), and the exact filter is applied to the surviving
+    rows — semantics identical to a post-hoc .filter()/.isin().
 
     ``planning`` chooses where scan planning runs:
       - "driver" (default): the manifest concats into one driver Arrow
@@ -503,8 +556,13 @@ def decode_store(spark: SparkSession, out_dir: str,
         # conservative at chunk granularity, this makes it precise)
         for c, op, v in filters:
             col = F.col(c)
-            out = out.filter({"<": col < v, "<=": col <= v, ">": col > v,
-                              ">=": col >= v, "==": col == v}[op])
+            if op == "in":
+                out = out.filter(col.isin(*list(v)) if len(v)
+                                 else F.lit(False))
+            else:
+                out = out.filter(
+                    {"<": col < v, "<=": col <= v, ">": col > v,
+                     ">=": col >= v, "==": col == v}[op])
     if columns is not None and list(out.columns) != list(columns):
         out = out.select(*columns)
     return out

@@ -758,3 +758,61 @@ def test_zero_shuffle_then_compaction_bounds_files(spark, tmp_path):
                          key="url")
     assert v.ok, v
     corpus.unpersist()
+
+
+def test_in_list_filter_pushdown(spark, tmp_path):
+    """IN-list filters push down like equality: zone maps and blooms
+    prune (a chunk survives if ANY member may be present, and a bloom
+    excludes it only when EVERY member is provably absent — one batched
+    probe pass); the residual isin keeps results exact. Driver and
+    distributed planning must open the same file set."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan, prune_files,
+    )
+    out = str(tmp_path / "store")
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.concat(F.lit("https://example.org/page/"), F.col("id"))
+         .alias("url"))
+    encode_dataframe(df, out, salt_key="url", num_pids=16)
+    store = ChunkStore(out)
+    m = store.manifest_table()
+    n_files = len(set(m.column("chunk_file").to_pylist()))
+
+    urls = ["https://example.org/page/7",
+            "https://example.org/page/3888"]
+    # results exact, including an absent member and an empty list
+    got = decode_store(spark, out, filters=[("url", "in", urls)]).collect()
+    assert sorted(r.id for r in got) == [7, 3888]
+    got2 = decode_store(
+        spark, out,
+        filters=[("url", "in", urls + ["nope://missing"])]).collect()
+    assert sorted(r.id for r in got2) == [7, 3888]
+    assert decode_store(spark, out,
+                        filters=[("url", "in", [])]).count() == 0
+    assert decode_store(spark, out,
+                        filters=[("id", "in", [5, 77])]).count() == 2
+    # bloom pruning: two target urls live in <= 2 content-derived pids
+    hit = prune_files(m, [("url", "in", urls)])
+    assert 1 <= len(hit) < n_files / 2, (len(hit), n_files)
+    # an all-absent IN prunes everything the blooms cover
+    miss = prune_files(m, [("url", "in", ["nope://a", "nope://b"])])
+    assert len(miss) < n_files / 2
+    # driver/distributed parity on IN (string and numeric)
+    snap = store.current_snapshot()
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+    for filters in ([("url", "in", urls)],
+                    [("url", "in", ["nope://a", "nope://b"])],
+                    [("id", "in", [5, 77, 9999999])]):
+        drv = prune_files(m, filters)
+        dist = sorted(r.chunk_file for r in
+                      distributed_file_plan(spark, paths, filters)
+                      .collect())
+        assert drv == dist, (filters, len(drv), len(dist))
+    # distributed-mode results match driver-mode results
+    a = decode_store(spark, out, filters=[("url", "in", urls)])
+    b = decode_store(spark, out, filters=[("url", "in", urls)],
+                     planning="distributed")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
