@@ -58,7 +58,7 @@ class OwrcReader(DataSourceReader):
         every filter back as unhandled: pruning is conservative (chunk
         granularity), so Spark must still apply the exact predicate."""
         from pyspark.sql.datasource import (
-            EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
             LessThanOrEqual,
         )
         ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
@@ -67,6 +67,11 @@ class OwrcReader(DataSourceReader):
             if type(f) in ops and len(f.attribute) == 1:
                 self._zone_filters.append(
                     (f.attribute[0], ops[type(f)], f.value))
+            elif type(f) is In and len(f.attribute) == 1:
+                # df.filter(col.isin(...)) prunes via zone maps + blooms
+                # (a chunk drops only when EVERY member is provably absent)
+                self._zone_filters.append(
+                    (f.attribute[0], "in", list(f.value)))
             yield f
 
     def partitions(self):

@@ -325,6 +325,10 @@ def test_owrc_reader_filter_pushdown(spark, tmp_path):
     scan = spark.read.format("owrc").load(out).filter("id >= 9000")
     assert scan.count() == 1000
     assert scan.agg(F.min("id")).collect()[0][0] == 9000
+    # isin() pushes as an In filter -> zone/bloom pruning, exact results
+    got = (spark.read.format("owrc").load(out)
+           .filter(F.col("id").isin(5, 4321, 999999)).collect())
+    assert sorted(r.id for r in got) == [5, 4321]
 
 
 def test_zone_map_prune_everything_and_type_mismatch(spark, tmp_path):
