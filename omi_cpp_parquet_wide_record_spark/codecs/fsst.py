@@ -511,14 +511,7 @@ class FsstCodec(Codec):
         tab_off = np.zeros(256, dtype=np.int64)
         np.cumsum(tab_lens[:-1] if ncodes else tab_lens,
                   out=tab_off[1:ncodes])
-        # (256, 8) fixed-width expansion table (symbols cap at 8 bytes):
-        # row c holds code c's expansion left-justified, zero-padded —
-        # 2 KB, L1-resident, built once per chunk
-        tab8 = np.zeros((256, 8), dtype=np.uint8)
-        for c in range(ncodes):
-            w = int(tab_lens[c])
-            tab8[c, :w] = tab_flat[tab_off[c]:tab_off[c] + w]
-        code_len = np.ones(256, dtype=np.uint8)
+        code_len = np.ones(256, dtype=np.int64)
         code_len[:ncodes] = tab_lens
 
         # escape parsing on the 0xFF-position SUBSET: inside each run of
@@ -547,30 +540,22 @@ class FsstCodec(Codec):
         tok_pos = np.flatnonzero(tok)
         codes = enc[tok_pos]
         tok_esc = codes == ESCAPE            # markers are the only ESCAPEs
-        widths = code_len[codes].astype(np.int32)
-        widths[tok_esc] = 1
+        widths = np.where(tok_esc, 1, code_len[codes])
         ends = np.cumsum(widths, dtype=np.int64)
         total = int(ends[-1]) if len(ends) else 0
 
-        # width-plane expansion: 8 scatters out[dst0+j] <- tab8[:, j][codes]
-        # over the shrinking widths>j subsets. Replaces the r3 extended-
-        # source gather (repeat + arange + fancy gather, ~3 index-building
-        # passes over OUTPUT bytes) with per-TOKEN ops — on escape-heavy
-        # web payloads tokens are ~0.4x output bytes, measured 1.5x
-        # (32 -> 47 MB/s single-thread on the html column).
-        it = np.int32 if total < 2**31 - 8 else np.int64
-        dst0 = (ends - widths).astype(it)
-        out = np.empty(total, dtype=np.uint8)
-        col0 = tab8[:, 0][codes]             # ESCAPE row is zeros
-        if tok_esc.any():
-            col0[tok_esc] = enc[tok_pos[tok_esc] + 1]   # escaped literals
-        out[dst0] = col0
-        for j in range(1, 8):
-            sel = widths > j
-            if not sel.any():
-                break
-            out[dst0[sel] + j] = tab8[:, j][codes[sel]]
-        assert int(lengths.sum()) == total, "fsst decode length mismatch"
+        # single-gather expansion: every output byte reads from an extended
+        # source [symbol table | encoded stream] — table reads stay
+        # cache-resident, the output writes are purely sequential (the old
+        # per-code scatter loop wrote to random positions, DRAM-hostile);
+        # int32 index math while the chunk fits
+        big = np.concatenate([tab_flat, enc])
+        it = np.int32 if max(total, len(big)) < 2**31 - 8 else np.int64
+        src0 = np.where(tok_esc, len(tab_flat) + tok_pos + 1, tab_off[codes])
+        src = np.repeat((src0 - (ends - widths)).astype(it), widths)
+        src += np.arange(total, dtype=it)
+        out = big[src]
+        assert int(lengths.sum()) == len(out), "fsst decode length mismatch"
         return block_to_array(lengths, out.tobytes(), target)
 
 
