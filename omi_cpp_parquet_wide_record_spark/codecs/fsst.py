@@ -63,6 +63,7 @@ _NKEYS = _KSPACE * _KSPACE
 # scales down with the sample) at 1.5-1.9x the encode throughput of the
 # r2 2 MB budget; 256 KB starts to wobble the ratio on text columns.
 import os as _os
+import sys as _sys
 
 TRAIN_BYTES_DEFAULT = int(_os.environ.get("OWR_FSST_TRAIN_BYTES",
                                           512 << 10))
@@ -157,12 +158,15 @@ def _select_nonoverlap(new_ids: np.ndarray) -> np.ndarray | None:
 def _round0_lut16(program) -> np.ndarray | None:
     """uint16-keyed LUT for the FIRST merge round. Round-0 pairs are pure
     byte pairs (both children < 256 — learned ids are only minted after the
-    round), so the (left<<9)|right training key converts losslessly to
-    (left<<8)|right over a 65,536-entry table. The table is 128 KB of int16
-    (L1/L2-resident vs the 512 KB full-keyspace LUT), and the key build
-    works on uint16 instead of int32 — round 0 sees the longest stream of
-    any round, so halving its key traffic matters under the 32-thread DRAM
-    ceiling. Returns None when the program is empty."""
+    round), so the (left<<9)|right training key converts losslessly to a
+    65,536-entry table. The table is 128 KB of int16 (L1/L2-resident vs
+    the 512 KB full-keyspace LUT), and it is keyed LITTLE-ENDIAN —
+    left | (right<<8) — so _round0_raw can index it with a zero-copy
+    unaligned uint16 view over the raw block instead of materializing a
+    2-byte-per-position key array. Round 0 sees the longest stream of any
+    round, so dropping its key write+read matters under the 32-thread
+    DRAM ceiling (~25% off the key+gather step, measured). Returns None
+    when the program is empty."""
     if not program:
         return None
     keys, ids = program[0]
@@ -170,7 +174,7 @@ def _round0_lut16(program) -> np.ndarray | None:
     if len(left) and (left.max() >= 256 or right.max() >= 256):
         return None   # defensive: not a byte-pair round, use the slow path
     lut16 = np.full(65536, -1, dtype=np.int16)
-    lut16[(left << 8) | right] = ids
+    lut16[left | (right << 8)] = ids
     return lut16
 
 
@@ -187,9 +191,17 @@ def _round0_raw(block: np.ndarray, bpos: np.ndarray,
     n = len(block)
     if n < 2:
         return _with_sentinels(block, bpos)
-    k = block[:-1].astype(np.uint16)
-    k <<= 8
-    k |= block[1:]
+    if block.flags.c_contiguous and _sys.byteorder == "little":
+        # zero-copy key stream: an unaligned little-endian uint16 view over
+        # the raw bytes IS the (left | right<<8) key at every position —
+        # no 2-byte-per-position key array to write and re-read (the lut is
+        # keyed to match; x86/arm64 handle the unaligned gather natively)
+        k = np.ndarray(shape=(n - 1,), dtype=np.uint16,
+                       buffer=block, strides=(1,))
+    else:
+        k = block[1:].astype(np.uint16)
+        k <<= 8
+        k |= block[:-1]
     ids = lut16[k]
     inner = bpos[bpos > 0]
     if len(inner):
