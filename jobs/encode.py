@@ -36,6 +36,9 @@ def main() -> int:
                     default="shuffle",
                     help="'local' skips the repartition entirely (zero-"
                          "shuffle encode; use with coarse pids)")
+    ap.add_argument("--sort-by", nargs="*", default=None,
+                    help="write sort order: task-local sort on these "
+                         "columns before chunking (tight zone maps)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--verify-key", default=None,
                     help="decode + bit-identity verify on this key column")
@@ -62,7 +65,7 @@ def main() -> int:
         df, args.output, partition_by=args.partition_by,
         salt_key=args.salt_key, num_pids=args.num_pids, salt=args.salt,
         chunk_rows=args.chunk_rows, resume=not args.no_resume,
-        colocate=args.colocate)
+        colocate=args.colocate, sort_by=args.sort_by)
     report = {
         "rows": res.rows, "bytes_in": res.bytes_in,
         "bytes_out": res.bytes_out, "ratio": round(res.ratio, 3),

@@ -309,12 +309,25 @@ def _encode_task_factory(chunks_dir: str, run_id: str, chunk_rows: int,
             for i in range(len(bounds) - 1):
                 lo, hi = int(bounds[i]), int(bounds[i + 1])
                 pid = int(pids[lo])
-                sl = batch.slice(lo, hi - lo)
-                acc.setdefault(pid, []).append(sl)
-                acc_rows[pid] = acc_rows.get(pid, 0) + (hi - lo)
-                acc_bytes[pid] = acc_bytes.get(pid, 0) + sl.nbytes
-                if acc_rows[pid] >= chunk_rows or acc_bytes[pid] >= chunk_bytes:
-                    flush(pid)
+                # top the accumulator up to the row budget and flush,
+                # repeatedly — a run larger than chunk_rows splits into
+                # budget-sized chunks instead of flushing whole (chunk
+                # size stays deterministic even when Arrow delivers a
+                # pid's rows as one oversized batch; with a write sort
+                # order this is what gives consecutive chunks disjoint
+                # key ranges)
+                pos = lo
+                while pos < hi:
+                    take = min(hi - pos,
+                               chunk_rows - acc_rows.get(pid, 0))
+                    sl = batch.slice(pos, take)
+                    pos += take
+                    acc.setdefault(pid, []).append(sl)
+                    acc_rows[pid] = acc_rows.get(pid, 0) + take
+                    acc_bytes[pid] = acc_bytes.get(pid, 0) + sl.nbytes
+                    if acc_rows[pid] >= chunk_rows \
+                            or acc_bytes[pid] >= chunk_bytes:
+                        flush(pid)
         for pid in list(acc):
             flush(pid)
         if not out_rows:
@@ -380,6 +393,7 @@ def encode_dataframe(
     num_tasks: int | None = None,
     colocate: str = "shuffle",
     manifest: str = "sharded",
+    sort_by: list[str] | None = None,
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
 
@@ -414,6 +428,13 @@ def encode_dataframe(
       the driver and writes one manifest file per commit (fewer files;
       fine for small jobs). Both produce identical store semantics —
       readers concat all manifest files a snapshot references.
+    sort_by: Iceberg-style write sort order (write.sort-order). A
+      task-local sort (sortWithinPartitions — NO extra shuffle) orders
+      each pid's rows by these columns before chunking, so every chunk
+      covers a narrow range of the sort key: zone maps then prune
+      point/range reads to ~one chunk per pid instead of all of them,
+      and DELTA/FOR/RLE see sorted runs (better ratios on keys). The
+      encode task's stable pid grouping preserves the order into chunks.
     """
     t0 = time.time()
     spark = df.sparkSession
@@ -449,6 +470,9 @@ def encode_dataframe(
         work = work.repartition(num_tasks, F.col(PID_COL))
     elif colocate != "local":
         raise ValueError(f"colocate must be 'shuffle' or 'local': {colocate}")
+
+    if sort_by:
+        work = work.sortWithinPartitions(PID_COL, *sort_by)
 
     import pyarrow.compute as pc
     if manifest == "sharded":

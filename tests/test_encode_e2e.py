@@ -305,6 +305,40 @@ def test_zone_map_pruning(spark, tmp_path):
         != sorted(pruned)
 
 
+def test_write_sort_order_tightens_zone_maps(spark, tmp_path):
+    """sort_by (Iceberg write.sort-order): a task-local sort before
+    chunking narrows each chunk's zone-map range on the sort key, so a
+    range filter opens ~one chunk per pid instead of every chunk —
+    results identical to the unsorted store."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        prune_files,
+    )
+    df = (spark.range(0, 60000)
+          .select(F.col("id"),
+                  F.pmod(F.col("id") * 7919, F.lit(60000)).alias("k"),
+                  (F.col("id") % 5).alias("g")))
+    # k is a scrambled permutation of [0, 60000): without a write sort
+    # every chunk spans nearly the whole k range. Row count is sized so
+    # each pid spans several Arrow batches (~10k rows each) — chunk
+    # boundaries come from batch arrival, and only a pre-sorted stream
+    # gives consecutive chunks disjoint key ranges.
+    kw = dict(partition_by=["g"], salt_key="id", num_pids=5, salt=1,
+              chunk_rows=1000)
+    unsorted_dir, sorted_dir = str(tmp_path / "u"), str(tmp_path / "s")
+    encode_dataframe(df, unsorted_dir, **kw)
+    encode_dataframe(df, sorted_dir, sort_by=["k"], **kw)
+    flt = [("k", "<", 1000)]
+    pu = prune_files(ChunkStore(unsorted_dir).manifest_table(), flt)
+    ps = prune_files(ChunkStore(sorted_dir).manifest_table(), flt)
+    assert len(ps) < len(pu), (len(ps), len(pu))
+    a = decode_store(spark, unsorted_dir, filters=flt)
+    b = decode_store(spark, sorted_dir, filters=flt)
+    assert a.count() == b.count() == 1000
+    assert sorted(r.k for r in a.select("k").collect()) \
+        == sorted(r.k for r in b.select("k").collect())
+
+
 def test_owrc_reader_filter_pushdown(spark, tmp_path):
     """format('owrc') scans prune chunk files from pushed comparison
     filters while Spark still applies the exact predicate."""
