@@ -37,6 +37,8 @@ def main() -> int:
     c = sub.add_parser("compact")
     c.add_argument("--output", required=True)
     c.add_argument("--salt-key", default=None)
+    c.add_argument("--sort-by", nargs="*", default=None,
+                   help="rewrite with a write sort order (tight zone maps)")
     args = ap.parse_args()
 
     from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
@@ -90,7 +92,8 @@ def main() -> int:
             compact_store,
         )
         print(json.dumps(compact_store(spark, args.store, args.output,
-                                       salt_key=args.salt_key)))
+                                       salt_key=args.salt_key,
+                                       sort_by=args.sort_by)))
         return 0
     return 1
 

@@ -38,11 +38,18 @@ def delete_rows(store_dir: str, keys: DataFrame, key_col: str,
 
 def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
                   salt_key: str | None = None,
-                  num_pids: int | None = None) -> dict:
+                  num_pids: int | None = None,
+                  sort_by: list[str] | None = None,
+                  chunk_rows: int = 65536) -> dict:
     """Materialize deletes and rewrite the table into right-sized chunks
     (Iceberg's rewrite_data_files): decode the live snapshot (deletes
     applied) and encode it into a fresh store. The old store stays intact
-    for time travel until the caller swaps/GCs it."""
+    for time travel until the caller swaps/GCs it.
+
+    ``sort_by`` rewrites with a write sort order (Iceberg's sort-strategy
+    rewrite): an existing store — e.g. one written by streaming commits
+    in arrival order — adopts tight per-chunk zone maps on the given
+    columns during the compaction it was already paying for."""
     from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
     from omi_cpp_parquet_wide_record_spark.operators.encode import (
         encode_dataframe,
@@ -56,6 +63,7 @@ def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
             "compact into a fresh directory and swap afterwards")
     live = decode_store(spark, store_dir)
     res = encode_dataframe(live, out_dir, salt_key=salt_key,
-                           num_pids=num_pids, resume=False)
+                           num_pids=num_pids, resume=False,
+                           sort_by=sort_by, chunk_rows=chunk_rows)
     return {"rows": res.rows, "bytes_out": res.bytes_out,
             "chunks": ChunkStore(out_dir).metrics()["chunks"]}

@@ -451,6 +451,37 @@ def test_merge_on_read_deletes_and_compaction(spark, tmp_path):
     assert decode_store(spark, out2).count() == 900
 
 
+def test_compact_adopts_sort_order(spark, tmp_path):
+    """compact_store(sort_by=...) — Iceberg's sort-strategy rewrite: an
+    arrival-ordered store gains tight zone maps on the sort key during
+    compaction; contents identical."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        prune_files,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        compact_store,
+    )
+    out = str(tmp_path / "store")
+    df = (spark.range(0, 60000)
+          .select(F.col("id"),
+                  F.pmod(F.col("id") * 7919, F.lit(60000)).alias("k")))
+    encode_dataframe(df, out, salt_key="id", num_pids=3, salt=1,
+                     chunk_rows=5000)
+    out2 = str(tmp_path / "sorted")
+    compact_store(spark, out, out2, salt_key="id", num_pids=3,
+                  sort_by=["k"], chunk_rows=5000)
+    flt = [("k", "<", 2000)]
+    pu = prune_files(ChunkStore(out).manifest_table(), flt)
+    ps = prune_files(ChunkStore(out2).manifest_table(), flt)
+    assert len(ps) < len(pu), (len(ps), len(pu))
+    a = decode_store(spark, out, filters=flt)
+    b = decode_store(spark, out2, filters=flt)
+    assert a.count() == b.count() == 2000
+    assert sorted(r.k for r in a.select("k").collect()) \
+        == sorted(r.k for r in b.select("k").collect())
+
+
 def test_sql_over_store_and_corruption_detection(spark, tmp_path):
     """Plain Spark SQL over the store via the owrc view, and the two
     corruption error paths: bad magic and sha mismatch."""
