@@ -97,7 +97,8 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
                   partition_by: list[str] | None = None,
                   salt_key: str | None = None, num_pids: int = 32,
                   query_name: str = "owr_stream_encode",
-                  checkpoint_dir: str | None = None):
+                  checkpoint_dir: str | None = None,
+                  sort_by: list[str] | None = None):
     """Streaming encode: every micro-batch flows through encode_dataframe
     via foreachBatch; the snapshot commit per batch gives exactly-once
     output (replayed batches hit the resume anti-filter)."""
@@ -153,7 +154,7 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
             return
         encode_dataframe(batch_df, out_dir, partition_by=partition_by,
                          salt_key=salt_key, num_pids=num_pids,
-                         run_id=run_id, resume=False)
+                         run_id=run_id, resume=False, sort_by=sort_by)
     return (src.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).queryName(query_name).start())
