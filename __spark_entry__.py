@@ -379,7 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_src = _pq.ParquetFile(
             os.path.join(d, "documents.parquet")).metadata.num_rows
         half = n_src // 2
-        out = _store_path(d, "documents", ["evolved"], {}, "v1")
+        out = _store_path(d, "documents", ["evolved"], {}, "v2")
         ok = False
         if os.path.exists(os.path.join(out, "_current")):
             try:
@@ -391,14 +391,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         if not ok:
             shutil.rmtree(out, ignore_errors=True)
             docs = _read(s, d, "documents")
+            # sort_by=doc_id: the write sort order keeps each chunk's
+            # doc_id zone map a tight range, so the filter below prunes
+            # chunk files instead of just rows (results are order-
+            # insensitive — layout only)
             encode_dataframe(
                 docs.filter(F.col("doc_id") < half)
                     .select("doc_id", "text", "lang"),
-                out, salt_key="doc_id", num_pids=8)
+                out, salt_key="doc_id", num_pids=8, sort_by=["doc_id"])
             encode_dataframe(
                 docs.filter(F.col("doc_id") >= half)
                     .select("doc_id", "text", "lang", "n_chars"),
-                out, salt_key="doc_id", num_pids=8, resume=False)
+                out, salt_key="doc_id", num_pids=8, resume=False,
+                sort_by=["doc_id"])
         # 300 straddles the sf0.01 commit boundary (250), so the driver
         # sees null-filled OLD rows and populated NEW rows side by side
         return decode_store(s, out, columns=["doc_id", "lang", "n_chars"],
