@@ -795,6 +795,82 @@ def test_pruning_parity_driver_vs_distributed(spark, tmp_path):
         < len(prune_files(m, []))
 
 
+def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
+    """Seeded random filter fuzz over mixed-type columns: for ANY
+    conjunction of </<=/>/>=/==/IN filters, the pruned + residual-
+    filtered read must return exactly the rows a full decode +
+    post-filter returns (over-pruning is silent data loss), and driver
+    vs distributed planning must open the same file set."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan, prune_files,
+    )
+    rnd = random.Random(20260817)
+    N = 6000
+    df = spark.range(0, N).select(
+        F.col("id"),
+        (F.col("id") * 37 % 101).alias("v"),
+        F.concat(F.lit("u-"), F.pmod(F.col("id") * 7919, F.lit(N)))
+         .alias("key"),
+        F.concat(F.lit("d-"), (F.col("id") % 13).cast("string"))
+         .alias("cat"))
+    out = str(tmp_path / "store")
+    encode_dataframe(df, out, salt_key="key", num_pids=12,
+                     chunk_rows=500, sort_by=["id"])
+    full = decode_store(spark, out).cache()
+    assert full.count() == N
+    store = ChunkStore(out)
+    snap = store.current_snapshot()
+    m = store.manifest_table(snap)
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+
+    def rand_filter():
+        col = rnd.choice(["id", "v", "key", "cat"])
+        if col in ("id", "v"):
+            top = N if col == "id" else 101
+            op = rnd.choice(["<", "<=", ">", ">=", "==", "in"])
+            if op == "in":
+                return (col, op,
+                        [rnd.randrange(0, top + 50)
+                         for _ in range(rnd.randrange(1, 5))])
+            return (col, op, rnd.randrange(0, top + 50))
+        prefix, top = ("u-", N) if col == "key" else ("d-", 16)
+        mk = lambda: prefix + str(rnd.randrange(0, top))  # noqa: E731
+        op = rnd.choice(["<", ">=", "==", "in"])
+        if op == "in":
+            return (col, op, [mk() for _ in range(rnd.randrange(1, 4))])
+        return (col, op, mk())
+
+    exprs = {"<": lambda c, v: F.col(c) < v,
+             "<=": lambda c, v: F.col(c) <= v,
+             ">": lambda c, v: F.col(c) > v,
+             ">=": lambda c, v: F.col(c) >= v,
+             "==": lambda c, v: F.col(c) == v,
+             "in": lambda c, v: F.col(c).isin(v)}
+    for trial in range(25):
+        filters = [rand_filter() for _ in range(rnd.randrange(1, 4))]
+        cond = None
+        for c, op, v in filters:
+            e = exprs[op](c, v)
+            cond = e if cond is None else (cond & e)
+        want = sorted(r.id for r in full.filter(cond)
+                      .select("id").collect())
+        got = sorted(r.id for r in
+                     decode_store(spark, out, filters=filters)
+                     .select("id").collect())
+        assert got == want, (trial, filters, len(got), len(want))
+        if trial % 5 == 0:   # cross-mode parity on a sample of trials
+            drv = prune_files(m, filters)
+            dist = sorted(r.chunk_file for r in
+                          distributed_file_plan(spark, paths, filters)
+                          .collect())
+            assert drv == dist, (trial, filters)
+
+
 def test_zero_shuffle_then_compaction_bounds_files(spark, tmp_path):
     """Close the zero-shuffle loop: colocate='local' multiplies chunk
     files (tasks x per-task pid groups — the price of removing the
