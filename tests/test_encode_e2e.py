@@ -871,6 +871,54 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
             assert drv == dist, (trial, filters)
 
 
+def test_string_pruning_unicode_edges(spark, tmp_path):
+    """String zone-map/bloom pruning on non-ASCII data: distributed
+    planning compares UTF-8 binary, the driver path Python strings —
+    both must equal code-point order on astral-plane, combining-char,
+    CJK, and empty-string bounds, with no row ever lost."""
+    import os
+
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan, prune_files,
+    )
+    vals = ["", "a", "zz", "éclair", "中文", "\U0001F600emoji",
+            "Ácombining", "￿", "~tilde"]
+    rows = [(i, vals[i % len(vals)] + str(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = str(tmp_path / "store")
+    encode_dataframe(df, out, salt_key="id", num_pids=6,
+                     chunk_rows=300, sort_by=["s"])
+    full = decode_store(spark, out).cache()
+    assert full.count() == 2000
+    store = ChunkStore(out)
+    snap = store.current_snapshot()
+    m = store.manifest_table(snap)
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+    cases = [
+        [("s", ">=", "中")], [("s", "<", "b")],
+        [("s", "==", "\U0001F600emoji5")], [("s", ">=", "\U0001F600")],
+        [("s", "<", "é")], [("s", "in", ["中文87", "zz2", "missing"])],
+        [("s", ">", "")], [("s", "<=", "")],
+    ]
+    for flt in cases:
+        col, op, v = flt[0]
+        e = F.col(col).isin(v) if op == "in" else \
+            {"<": F.col(col) < v, "<=": F.col(col) <= v,
+             ">": F.col(col) > v, ">=": F.col(col) >= v,
+             "==": F.col(col) == v}[op]
+        want = sorted(r.id for r in full.filter(e).select("id").collect())
+        got = sorted(r.id for r in
+                     decode_store(spark, out, filters=flt)
+                     .select("id").collect())
+        assert got == want, (flt, len(got), len(want))
+        drv = prune_files(m, flt)
+        dist = sorted(r.chunk_file for r in
+                      distributed_file_plan(spark, paths, flt).collect())
+        assert drv == dist, (flt, drv, dist)
+
+
 def test_zero_shuffle_then_compaction_bounds_files(spark, tmp_path):
     """Close the zero-shuffle loop: colocate='local' multiplies chunk
     files (tasks x per-task pid groups — the price of removing the
