@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -188,8 +189,8 @@ def lsh_bucket_signatures(df: DataFrame, n_planes: int = 16,
 
     def task(batches):
         for b in batches:
+            b, lst = _fixed_vector_rows(b)
             ids = b.column("id").to_numpy()
-            lst = b.column("v")
             flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             n = len(ids)
             if n == 0:
@@ -246,6 +247,26 @@ def lsh_cosine_candidates(df: DataFrame, n_planes: int = 12, bands: int = 3,
 
 # --------------------------------------------------------------- IVF-lite
 
+def _fixed_vector_rows(b: pa.RecordBatch, col: str = "v"):
+    """(batch, list_column) with null-vector rows DROPPED and ragged
+    lengths rejected — the vector-kernel contract established by
+    _pair_cosine_quantized: a null vector never scores/assigns (the
+    join-plan re-rank drops such pairs, so every plan shape observes the
+    same result), and ragged dims fail loudly instead of flatten()
+    silently misaligning every row after the first bad one."""
+    lst = b.column(col)
+    if lst.null_count:
+        b = b.filter(lst.is_valid())
+        lst = b.column(col)
+    if b.num_rows:
+        vl = pc.min_max(lst.value_lengths())
+        if vl["min"].as_py() != vl["max"].as_py():
+            raise ValueError(
+                f"ragged {col} vectors: lengths {vl['min']}..."
+                f"{vl['max']} (embedding dims must be uniform)")
+    return b, lst
+
+
 def ivf_assign(df: DataFrame, n_centroids: int = 16,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 42) -> DataFrame:
@@ -263,8 +284,8 @@ def ivf_assign(df: DataFrame, n_centroids: int = 16,
 
     def task(batches):
         for b in batches:
+            b, lst = _fixed_vector_rows(b)
             ids = b.column("id").to_numpy()
-            lst = b.column("v")
             flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             n = len(ids)
             if n == 0:
@@ -294,8 +315,8 @@ def _int_scores(df: DataFrame, n_centroids: int, seed: int,
 
     def task(batches):
         for b in batches:
+            b, lst = _fixed_vector_rows(b)
             ids = b.column("id").to_numpy()
-            lst = b.column("v")
             flat = lst.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
             n = len(ids)
@@ -383,11 +404,12 @@ def _ivf_topk_fused(corpus: DataFrame, qrows, k: int, nprobe: int,
 
     def task(batches):
         for b in batches:
+            b, lst = _fixed_vector_rows(b)
             n = b.num_rows
             if n == 0:
                 continue
             nids = b.column("id").to_numpy()
-            flat = b.column("v").flatten().to_numpy(zero_copy_only=False) \
+            flat = lst.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
             C = np.floor(flat * LSH_SCALE).astype(np.int64).reshape(n, -1)
             assign = (C @ cents.T).argmax(axis=1)        # first max wins

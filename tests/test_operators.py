@@ -592,6 +592,38 @@ def test_ivf_topk_recall(spark):
     assert fused == joined
 
 
+def test_vector_kernels_null_and_ragged(spark):
+    """A null corpus vector must never score OR misalign the batch
+    (fused and join IVF plans agree row-for-row), and ragged embedding
+    dims fail loudly — the _pair_cosine_quantized contract applied to
+    every vector kernel (assign, LSH buckets, probes, fused top-k)."""
+    import random
+
+    import pytest as _pytest
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)])
+            for i in range(200)]
+    rows[50] = (50, None)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+    fused = sorted(tuple(r) for r in
+                   similarity.ivf_topk(df, qdf, k=3).collect())
+    joined = sorted(tuple(r) for r in
+                    similarity._ivf_topk_join(df, qdf, k=3).collect())
+    assert fused == joined and fused
+    assert 50 not in {r[1] for r in fused}       # the null row never scores
+    # assignment drops the null row instead of shifting every later row
+    assigned = similarity.ivf_assign(df)
+    assert assigned.count() == 199
+    # ragged dims: loud error, not silent misalignment (enough rows that
+    # a ragged row shares an Arrow batch with uniform ones)
+    bad = spark.createDataFrame(
+        [(i, [1.0] * (7 if i == 60 else 8)) for i in range(200)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="ragged"):
+        similarity.ivf_assign(bad).collect()
+
+
 def test_closed_sessions_timeout_eviction(spark, tmp_path):
     """Sessions must emit when they CLOSE: by a later event past the gap,
     or by event-time timeout once the watermark passes session end — the
