@@ -883,7 +883,8 @@ def test_string_pruning_unicode_edges(spark, tmp_path):
         distributed_file_plan, prune_files,
     )
     vals = ["", "a", "zz", "éclair", "中文", "\U0001F600emoji",
-            "Ácombining", "￿", "~tilde"]
+            "Ácombining", "￿", "~tilde",
+            'he said "hi"', "back\\slash", "line\nbreak"]
     rows = [(i, vals[i % len(vals)] + str(i)) for i in range(2000)]
     df = spark.createDataFrame(rows, "id long, s string")
     out = str(tmp_path / "store")
@@ -899,8 +900,11 @@ def test_string_pruning_unicode_edges(spark, tmp_path):
     cases = [
         [("s", ">=", "中")], [("s", "<", "b")],
         [("s", "==", "\U0001F600emoji5")], [("s", ">=", "\U0001F600")],
-        [("s", "<", "é")], [("s", "in", ["中文87", "zz2", "missing"])],
+        [("s", "<", "é")], [("s", "in", ["中文88", "zz2", "missing"])],
         [("s", ">", "")], [("s", "<=", "")],
+        # JSON-escape stress: stats travel as JSON in the manifest
+        [("s", "==", 'he said "hi"9')], [("s", ">=", "back\\slash")],
+        [("s", "in", ["line\nbreak11", 'he said "hi"21'])],
     ]
     for flt in cases:
         col, op, v = flt[0]
