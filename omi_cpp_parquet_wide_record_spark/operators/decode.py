@@ -417,7 +417,12 @@ def decode_store(spark: SparkSession, out_dir: str,
                if d["key"] in schema.names]
     delete_keys = list(dict.fromkeys(d["key"] for d in deletes))
     if columns is not None:
-        decode_cols = list(columns) + [k for k in delete_keys
+        # filter columns decode too (then drop with the delete keys in
+        # the final projection): Iceberg semantics let a filter reference
+        # a column the caller did not project
+        extra = list(dict.fromkeys(
+            delete_keys + [f[0] for f in (filters or [])]))
+        decode_cols = list(columns) + [k for k in extra
                                        if k not in columns]
         schema = pa.schema([schema.field(c) for c in decode_cols])
     # the merged view is nullable: add-column evolution null-fills rows

@@ -869,6 +869,14 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
                           distributed_file_plan(spark, paths, filters)
                           .collect())
             assert drv == dist, (trial, filters)
+    # Iceberg semantics: a filter may reference a non-projected column —
+    # it decodes for the residual filter and drops in the projection
+    pf = decode_store(spark, out, columns=["id"],
+                      filters=[("v", "==", 3), ("cat", "==", "d-3")])
+    assert pf.columns == ["id"]
+    want = sorted(r.id for r in full.filter(
+        (F.col("v") == 3) & (F.col("cat") == "d-3")).select("id").collect())
+    assert sorted(r.id for r in pf.collect()) == want and want
 
 
 def test_string_pruning_unicode_edges(spark, tmp_path):
