@@ -74,10 +74,20 @@ def type_name(t: pa.DataType) -> str:
     try:
         return _TYPE_NAMES[t]
     except KeyError:
+        # nested lists name recursively: list<float32>, large_list<string>,
+        # list<list<int64>> — parsed back by name_type
+        if pa.types.is_list(t):
+            return f"list<{type_name(t.value_type)}>"
+        if pa.types.is_large_list(t):
+            return f"large_list<{type_name(t.value_type)}>"
         raise TypeError(f"unsupported column type for codec layer: {t}") from None
 
 
 def name_type(name: str) -> pa.DataType:
+    if name.startswith("list<") and name.endswith(">"):
+        return pa.list_(name_type(name[5:-1]))
+    if name.startswith("large_list<") and name.endswith(">"):
+        return pa.large_list(name_type(name[11:-1]))
     return _TYPES[name]
 
 
@@ -316,6 +326,11 @@ def plain_size(arr: pa.Array) -> int:
         nn = arr.drop_null() if arr.null_count else arr
         nbytes = int(pc.sum(pc.binary_length(nn)).as_py() or 0)
         return nbytes + 4 * n
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        nn = arr.drop_null() if arr.null_count else arr
+        flat = nn.combine_chunks().flatten() if isinstance(
+            nn, pa.ChunkedArray) else nn.flatten()
+        return plain_size(flat) + 4 * n          # child values + offsets
     return _WIDTHS[type_name(t)] * n
 
 

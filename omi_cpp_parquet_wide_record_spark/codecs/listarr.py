@@ -1,0 +1,52 @@
+"""Composite codec for list<T> columns (embeddings and other nested
+data): the value LENGTHS and the flattened child VALUES encode as two
+independent sub-columns, each through the sampling selector — lengths
+are small ints (DELTA/RLE/BITPACK; a fixed-dim embedding column is one
+RLE run), values ride their own type's candidate set (list<float> the
+float path, list<string> the FSST/dict path), and nested lists recurse
+naturally because the child column is itself a list.
+
+The reference has no nested-column analogue (its wide records are flat,
+ref NQ:3078-3153); this extends the engine to the training-data tables
+(TESTDATA.md embeddings) without touching the chunk format: sections are
+[len_payload, value_payload] and the child params nest in this codec's
+params, so footers/manifests stay schema-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from omi_cpp_parquet_wide_record_spark.codecs.base import (
+    Codec, decode_column, encode_column, name_type, register,
+)
+
+
+class ListCodec(Codec):
+    name = "list"
+
+    def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
+        # encode_column has already stripped null rows; child-value nulls
+        # survive flatten() and are handled by the recursive encode_column
+        from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+        lens = pa.array(arr.value_lengths().to_numpy(zero_copy_only=False)
+                        .astype(np.int32), type=pa.int32())
+        values = arr.flatten()
+        el = encode_column(lens, choose_codec(lens).codec)
+        ev = encode_column(values, choose_codec(values).codec)
+        return [el.payload, ev.payload], {"lp": el.params, "vp": ev.params}
+
+    def decode(self, sections: list, params: dict) -> pa.Array:
+        lens = decode_column(sections[0], params["lp"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        values = decode_column(sections[1], params["vp"])
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        out = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), values)
+        target = name_type(params["atype"])
+        return out if out.type == target else out.cast(target)
+
+
+register(ListCodec())

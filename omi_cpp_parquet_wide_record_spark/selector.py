@@ -62,6 +62,10 @@ def candidates_for(arr: pa.Array) -> list[str]:
         return cands
     if pa.types.is_floating(t):
         return ["dict", "rle", "plain"]
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # composite: lengths + flattened values each re-enter the
+        # selector inside the codec, so one candidate suffices here
+        return ["list"]
     return ["plain"]
 
 

@@ -21,6 +21,12 @@ def arrays_equal(a: pa.Array, b: pa.Array) -> bool:
     if not np.array_equal(av, bv):
         return False
     an, bn = a.drop_null(), b.drop_null()
+    if pa.types.is_list(a.type) or pa.types.is_large_list(a.type):
+        la = an.value_lengths().to_numpy(zero_copy_only=False)
+        lb = bn.value_lengths().to_numpy(zero_copy_only=False)
+        if not np.array_equal(la, lb):
+            return False
+        return arrays_equal(an.flatten(), bn.flatten())
     if pa.types.is_floating(a.type):
         ai = an.to_numpy(zero_copy_only=False)
         bi = bn.to_numpy(zero_copy_only=False)

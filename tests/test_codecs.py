@@ -140,6 +140,36 @@ def test_fsst_round0_raw_bit_identical():
     assert all(a == b for a, b in zip(fast, slow))
 
 
+# ---------------------------------------------------------------- lists
+
+def test_list_roundtrips():
+    """Composite list codec: lengths + flattened values each re-enter the
+    selector. Null rows, inner nulls, empty lists, strings, and nested
+    lists all round-trip; fixed-dim float lists (the embeddings shape)
+    get RLE'd lengths."""
+    cases = [
+        pa.array([[1.0, 2.5], [], None, [3.25], [float("nan")]],
+                 type=pa.list_(pa.float32())),
+        pa.array([[1, None, 3], None, [], [2**62]],
+                 type=pa.list_(pa.int64())),
+        pa.array([["a", None], [], ["日本", ""]],
+                 type=pa.list_(pa.string())),
+        pa.array([[[1, 2], []], None, [[3], None]],
+                 type=pa.list_(pa.list_(pa.int32()))),
+        pa.array([], type=pa.list_(pa.float64())),
+        pa.array([[0.5] * 16] * 300, type=pa.large_list(pa.float64())),
+    ]
+    for arr in cases:
+        roundtrip(arr, "list")
+    # the selector routes list columns to the composite codec
+    from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+    assert choose_codec(cases[-1]).codec == "list"
+    # fixed-dim lengths are one RLE/constant run — the encoded lengths
+    # must be tiny next to the values
+    e = encode_column(cases[-1], "list")
+    assert e.params["lp"]["codec"] in ("rle", "for", "dict", "bitpack")
+
+
 # ---------------------------------------------------------------- hypothesis
 
 @settings(max_examples=60, deadline=None)
@@ -161,3 +191,12 @@ def test_prop_binary(codec, xs):
 @pytest.mark.parametrize("codec", STR_CODECS)
 def test_prop_text(codec, xs):
     roundtrip(pa.array(xs, type=pa.string()), codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+             max_size=12)), max_size=120))
+def test_prop_list_int(xs):
+    roundtrip(pa.array(xs, type=pa.list_(pa.int64())), "list")
