@@ -352,9 +352,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "documents", ["doc_id", "lang", "source", "text"],
         {"doc_id": "plain", "lang": "dict", "source": "dict",
          "text": "fsst"}, "dict_fsst")
-    q["codec_for_roundtrip"] = lambda s, d: _roundtrip(
-        s, d, "orders", ["o_orderkey", "o_custkey"],
-        {"o_orderkey": "for", "o_custkey": "for"}, "for")
+    # FOR (vec_id/label) fused with the composite LIST codec over the
+    # embeddings table: lengths + flattened floats each take their own
+    # codec inside the store. The decoded array reduces to an exact
+    # fixed-point element sum (floor(x * 2^20) as BIGINT — float32 ->
+    # double is exact, integer sums are order-free) so the DuckDB oracle
+    # reproduces the decoded list without float-summation ambiguity.
+    def _for_list_roundtrip(s, d):
+        dec = _roundtrip(s, d, "embeddings",
+                         ["vec_id", "label", "embedding"],
+                         {"vec_id": "for", "label": "for",
+                          "embedding": "list"}, "for_list")
+        return dec.select(
+            "vec_id", "label",
+            F.size("embedding").alias("dim"),
+            F.aggregate(
+                "embedding", F.lit(0).cast("long"),
+                lambda a, x: a + F.floor(x.cast("double")
+                                         * F.lit(1048576.0)).cast("long")
+            ).alias("esum_fp"))
+    q["codec_for_roundtrip"] = _for_list_roundtrip
 
     # ---------------- reference operators O2-O14 over the driver tables
     def _pruned_scan(s, d):
@@ -764,7 +781,11 @@ def oracle_sql() -> dict[str, str]:
         "value, props FROM events")
     sql["codec_dict_fsst_roundtrip"] = \
         "SELECT doc_id, lang, source, text FROM documents"
-    sql["codec_for_roundtrip"] = "SELECT o_orderkey, o_custkey FROM orders"
+    sql["codec_for_roundtrip"] = (
+        "SELECT vec_id, label, len(embedding) AS dim, "
+        "coalesce(list_sum(list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))), 0) "
+        "AS esum_fp FROM embeddings")
 
     # evolved store: rows encoded before n_chars existed read back NULL
     # (Iceberg add-column null-fill); the commit boundary is count/2
