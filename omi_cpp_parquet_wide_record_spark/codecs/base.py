@@ -80,7 +80,30 @@ def type_name(t: pa.DataType) -> str:
             return f"list<{type_name(t.value_type)}>"
         if pa.types.is_large_list(t):
             return f"large_list<{type_name(t.value_type)}>"
+        if pa.types.is_struct(t):
+            # field names must not contain ':' or ',' (name_type splits on
+            # them); Spark column naming rules already forbid both here
+            return "struct<" + ",".join(
+                f"{f.name}:{type_name(f.type)}" for f in t) + ">"
         raise TypeError(f"unsupported column type for codec layer: {t}") from None
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at bracket depth 0 (struct<a:int64,b:list<...>>)."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
 
 
 def name_type(name: str) -> pa.DataType:
@@ -88,6 +111,12 @@ def name_type(name: str) -> pa.DataType:
         return pa.list_(name_type(name[5:-1]))
     if name.startswith("large_list<") and name.endswith(">"):
         return pa.large_list(name_type(name[11:-1]))
+    if name.startswith("struct<") and name.endswith(">"):
+        fields = []
+        for part in _split_top(name[7:-1]):
+            fname, ftype = part.split(":", 1)
+            fields.append(pa.field(fname, name_type(ftype)))
+        return pa.struct(fields)
     return _TYPES[name]
 
 
@@ -331,6 +360,10 @@ def plain_size(arr: pa.Array) -> int:
         flat = nn.combine_chunks().flatten() if isinstance(
             nn, pa.ChunkedArray) else nn.flatten()
         return plain_size(flat) + 4 * n          # child values + offsets
+    if pa.types.is_struct(t):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return sum(plain_size(arr.field(i)) for i in range(t.num_fields))
     return _WIDTHS[type_name(t)] * n
 
 

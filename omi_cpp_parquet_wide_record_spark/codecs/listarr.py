@@ -49,4 +49,33 @@ class ListCodec(Codec):
         return out if out.type == target else out.cast(target)
 
 
+class StructCodec(Codec):
+    """Composite codec for struct<...> columns: each child field encodes
+    as its own sub-column through the sampling selector (sections are the
+    child payloads in field order; child params nest under "fields").
+    encode_column has already stripped null STRUCT rows; child nulls are
+    handled by the recursive encode_column."""
+
+    name = "struct"
+
+    def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
+        from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+        sections, fields = [], []
+        for i, f in enumerate(arr.type):
+            child = arr.field(i)
+            e = encode_column(child, choose_codec(child).codec)
+            sections.append(e.payload)
+            fields.append({"name": f.name, "p": e.params})
+        return sections, {"fields": fields}
+
+    def decode(self, sections: list, params: dict) -> pa.Array:
+        children = [decode_column(s, f["p"])
+                    for s, f in zip(sections, params["fields"])]
+        out = pa.StructArray.from_arrays(
+            children, names=[f["name"] for f in params["fields"]])
+        target = name_type(params["atype"])
+        return out if out.type == target else out.cast(target)
+
+
 register(ListCodec())
+register(StructCodec())

@@ -59,6 +59,22 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
     return pa.table(dict(zip(names, arrays)))
 
 
+def _nullable_type(t: pa.DataType) -> pa.DataType:
+    """Recursively rewrite nested fields nullable: the merged read view is
+    nullable at every level (codec decode rebuilds nested arrays with
+    nullable children; add-column evolution null-fills whole rows), so a
+    source schema's 'not null' nested fields must not make the final cast
+    reject otherwise-identical data. Spark reads nullable regardless."""
+    if pa.types.is_list(t):
+        return pa.list_(_nullable_type(t.value_type))
+    if pa.types.is_large_list(t):
+        return pa.large_list(_nullable_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(f.name, _nullable_type(f.type),
+                                   nullable=True) for f in t])
+    return t
+
+
 _PRUNE_OPS = {
     "<": lambda lo, hi, v: lo < v,       # chunk may hold a value < v
     "<=": lambda lo, hi, v: lo <= v,
@@ -429,7 +445,8 @@ def decode_store(spark: SparkSession, out_dir: str,
     # from chunks committed before a column existed (Spark reads nullable
     # regardless)
     schema = pa.schema(
-        [pa.field(f.name, f.type, nullable=True) for f in schema])
+        [pa.field(f.name, _nullable_type(f.type), nullable=True)
+         for f in schema])
     if planning not in ("driver", "distributed"):
         raise ValueError(
             f"planning must be 'driver' or 'distributed': {planning}")

@@ -66,6 +66,8 @@ def candidates_for(arr: pa.Array) -> list[str]:
         # composite: lengths + flattened values each re-enter the
         # selector inside the codec, so one candidate suffices here
         return ["list"]
+    if pa.types.is_struct(t):
+        return ["struct"]
     return ["plain"]
 
 

@@ -27,6 +27,9 @@ def arrays_equal(a: pa.Array, b: pa.Array) -> bool:
         if not np.array_equal(la, lb):
             return False
         return arrays_equal(an.flatten(), bn.flatten())
+    if pa.types.is_struct(a.type):
+        return all(arrays_equal(an.field(i), bn.field(i))
+                   for i in range(a.type.num_fields))
     if pa.types.is_floating(a.type):
         ai = an.to_numpy(zero_copy_only=False)
         bi = bn.to_numpy(zero_copy_only=False)

@@ -170,6 +170,26 @@ def test_list_roundtrips():
     assert e.params["lp"]["codec"] in ("rle", "for", "dict", "bitpack")
 
 
+def test_struct_roundtrips():
+    """Composite struct codec: each field encodes independently through
+    the selector; null struct rows, null fields, and nesting (struct in
+    list, list in struct) round-trip."""
+    cases = [
+        pa.array([{"a": 1, "b": "x"}, None, {"a": None, "b": ""}],
+                 type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        pa.array([{"v": [1.0, 2.0], "n": 3}, {"v": [], "n": None}],
+                 type=pa.struct([("v", pa.list_(pa.float64())),
+                                 ("n", pa.int32())])),
+        pa.array([[{"k": 1}], None, [{"k": None}, {"k": 2}]],
+                 type=pa.list_(pa.struct([("k", pa.int64())]))),
+    ]
+    for arr in cases:
+        codec = "struct" if pa.types.is_struct(arr.type) else "list"
+        roundtrip(arr, codec)
+    from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+    assert choose_codec(cases[0]).codec == "struct"
+
+
 # ---------------------------------------------------------------- hypothesis
 
 @settings(max_examples=60, deadline=None)

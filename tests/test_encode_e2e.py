@@ -892,7 +892,10 @@ def test_array_columns_roundtrip(spark, tmp_path):
                        F.lit(0.5), (F.col("id") * 3).cast("float")))
                    .alias("vec"),
                   F.array(F.concat(F.lit("t"), F.col("id")))
-                   .alias("tags")))
+                   .alias("tags"),
+                  F.struct((F.col("id") % 9).alias("a"),
+                           F.concat(F.lit("m"), F.col("id")).alias("b"))
+                   .alias("meta")))
     out = str(tmp_path / "store")
     res = encode_dataframe(df, out, salt_key="id", num_pids=4,
                            chunk_rows=500)
