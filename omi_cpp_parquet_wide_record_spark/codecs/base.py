@@ -85,6 +85,8 @@ def type_name(t: pa.DataType) -> str:
             # them); Spark column naming rules already forbid both here
             return "struct<" + ",".join(
                 f"{f.name}:{type_name(f.type)}" for f in t) + ">"
+        if pa.types.is_map(t):
+            return f"map<{type_name(t.key_type)},{type_name(t.item_type)}>"
         raise TypeError(f"unsupported column type for codec layer: {t}") from None
 
 
@@ -117,6 +119,9 @@ def name_type(name: str) -> pa.DataType:
             fname, ftype = part.split(":", 1)
             fields.append(pa.field(fname, name_type(ftype)))
         return pa.struct(fields)
+    if name.startswith("map<") and name.endswith(">"):
+        k, v = _split_top(name[4:-1])
+        return pa.map_(name_type(k), name_type(v))
     return _TYPES[name]
 
 
@@ -364,6 +369,11 @@ def plain_size(arr: pa.Array) -> int:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         return sum(plain_size(arr.field(i)) for i in range(t.num_fields))
+    if pa.types.is_map(t):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        nn = arr.drop_null() if arr.null_count else arr
+        return plain_size(nn.keys) + plain_size(nn.items) + 4 * n
     return _WIDTHS[type_name(t)] * n
 
 
@@ -404,11 +414,11 @@ def decode_column(payload: bytes | memoryview, params: dict) -> pa.Array:
         dense = dense.cast(target)
     if not nulls:
         return dense
-    # scatter the dense (null-free) values back under the validity bitmap
+    # scatter the dense (null-free) values back under the validity bitmap:
+    # a take with NULL indices yields null rows, one kernel for any type
+    # (if_else has no kernel for nested types like map)
+    if n - nulls == 0:
+        return pa.nulls(n, target)
     idx = np.zeros(n, dtype=np.int64)
     idx[valid] = np.arange(n - nulls, dtype=np.int64)
-    taken = dense.take(pa.array(idx, type=pa.int64())) if n - nulls > 0 \
-        else pa.nulls(n, target)
-    if n - nulls == 0:
-        return taken
-    return pc.if_else(pa.array(valid), taken, pa.scalar(None, type=target))
+    return dense.take(pa.array(idx, mask=~valid))

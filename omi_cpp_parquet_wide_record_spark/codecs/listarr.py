@@ -77,5 +77,41 @@ class StructCodec(Codec):
         return out if out.type == target else out.cast(target)
 
 
+class MapCodec(Codec):
+    """Composite codec for map<K, V> columns: entry lengths, keys, and
+    items encode as three independent sub-columns through the selector
+    (a props-style map column gets DICT'd keys for free)."""
+
+    name = "map"
+
+    def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
+        from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+        # value_lengths has no map kernel in pyarrow: diff the offsets
+        off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pa.array((off[1:] - off[:-1]).astype(np.int32),
+                        type=pa.int32())
+        subs = []
+        for child in (lens, arr.keys, arr.items):
+            e = encode_column(child, choose_codec(child).codec)
+            subs.append(e)
+        return [e.payload for e in subs], {
+            "lp": subs[0].params, "kp": subs[1].params,
+            "ip": subs[2].params}
+
+    def decode(self, sections: list, params: dict) -> pa.Array:
+        lens = decode_column(sections[0], params["lp"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = decode_column(sections[1], params["kp"])
+        items = decode_column(sections[2], params["ip"])
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        out = pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()).cast(pa.int32()),
+            keys, items)
+        target = name_type(params["atype"])
+        return out if out.type == target else out.cast(target)
+
+
 register(ListCodec())
 register(StructCodec())
+register(MapCodec())

@@ -72,6 +72,9 @@ def _nullable_type(t: pa.DataType) -> pa.DataType:
     if pa.types.is_struct(t):
         return pa.struct([pa.field(f.name, _nullable_type(f.type),
                                    nullable=True) for f in t])
+    if pa.types.is_map(t):
+        return pa.map_(_nullable_type(t.key_type),
+                       _nullable_type(t.item_type))
     return t
 
 

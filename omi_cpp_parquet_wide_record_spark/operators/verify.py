@@ -34,13 +34,26 @@ class VerifyResult:
                 and all(v == 0 for v in self.mismatches.values()))
 
 
+def _comparable(df: DataFrame, cols: list[str], prefix: str) -> DataFrame:
+    """Alias columns for the join; map columns canonicalize to sorted
+    entry arrays first — Spark's <=> supports no ordering on MAP, and
+    map entry order is not semantically significant anyway."""
+    from pyspark.sql.types import MapType
+    types = {f.name: f.dataType for f in df.schema}
+    out = []
+    for c in cols:
+        col = F.col(c)
+        if isinstance(types[c], MapType):
+            col = F.sort_array(F.map_entries(col))
+        out.append(col.alias(f"{prefix}_{c}"))
+    return df.select(out)
+
+
 def verify_roundtrip(original: DataFrame, decoded: DataFrame,
                      key: str) -> VerifyResult:
     cols = [c for c in original.columns]
-    o = original.select([F.col(c).alias(f"o_{c}") for c in cols]) \
-        .withColumn("__o", F.lit(1))
-    d = decoded.select([F.col(c).alias(f"d_{c}") for c in cols]) \
-        .withColumn("__d", F.lit(1))
+    o = _comparable(original, cols, "o").withColumn("__o", F.lit(1))
+    d = _comparable(decoded, cols, "d").withColumn("__d", F.lit(1))
     # eqNullSafe join: null keys still pair up (a bare == would silently
     # exclude them from every column comparison)
     joined = o.join(d, F.col(f"o_{key}").eqNullSafe(F.col(f"d_{key}")),

@@ -68,6 +68,8 @@ def candidates_for(arr: pa.Array) -> list[str]:
         return ["list"]
     if pa.types.is_struct(t):
         return ["struct"]
+    if pa.types.is_map(t):
+        return ["map"]
     return ["plain"]
 
 

@@ -30,6 +30,13 @@ def arrays_equal(a: pa.Array, b: pa.Array) -> bool:
     if pa.types.is_struct(a.type):
         return all(arrays_equal(an.field(i), bn.field(i))
                    for i in range(a.type.num_fields))
+    if pa.types.is_map(a.type):
+        oa = an.offsets.to_numpy(zero_copy_only=False)
+        ob = bn.offsets.to_numpy(zero_copy_only=False)
+        if not np.array_equal(np.diff(oa), np.diff(ob)):
+            return False
+        return arrays_equal(an.keys, bn.keys) \
+            and arrays_equal(an.items, bn.items)
     if pa.types.is_floating(a.type):
         ai = an.to_numpy(zero_copy_only=False)
         bi = bn.to_numpy(zero_copy_only=False)

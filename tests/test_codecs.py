@@ -190,6 +190,21 @@ def test_struct_roundtrips():
     assert choose_codec(cases[0]).codec == "struct"
 
 
+def test_map_roundtrips():
+    """Composite map codec: lengths + keys + items each take their own
+    codec; null map rows and null values round-trip."""
+    cases = [
+        pa.array([{"a": 1, "b": 2}, None, {}, {"c": None}],
+                 type=pa.map_(pa.string(), pa.int64())),
+        pa.array([[(1, "x"), (2, "y")], []],
+                 type=pa.map_(pa.int32(), pa.string())),
+    ]
+    for arr in cases:
+        roundtrip(arr, "map")
+    from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+    assert choose_codec(cases[0]).codec == "map"
+
+
 # ---------------------------------------------------------------- hypothesis
 
 @settings(max_examples=60, deadline=None)

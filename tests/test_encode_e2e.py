@@ -895,7 +895,9 @@ def test_array_columns_roundtrip(spark, tmp_path):
                    .alias("tags"),
                   F.struct((F.col("id") % 9).alias("a"),
                            F.concat(F.lit("m"), F.col("id")).alias("b"))
-                   .alias("meta")))
+                   .alias("meta"),
+                  F.create_map(F.lit("k"), F.col("id") % 11)
+                   .alias("props")))
     out = str(tmp_path / "store")
     res = encode_dataframe(df, out, salt_key="id", num_pids=4,
                            chunk_rows=500)
