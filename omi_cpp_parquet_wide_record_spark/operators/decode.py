@@ -395,11 +395,22 @@ def decode_store(spark: SparkSession, out_dir: str,
                  snapshot: int | None = None,
                  filters: list[tuple[str, str, object]] | None = None,
                  planning: str = "driver",
+                 since_snapshot: int | None = None,
                  ) -> DataFrame:
     """A committed snapshot as a DataFrame (distributed decode).
 
     ``snapshot=N`` time-travels to snapshot #N (Iceberg-style as-of read);
     default is the live snapshot `_current` points to.
+
+    ``since_snapshot=M`` reads INCREMENTALLY (Iceberg's incremental
+    append scan): only rows from manifests committed AFTER snapshot #M,
+    up to the target snapshot — the "process just the new batch"
+    primitive for training-data pipelines. Implemented as a manifest
+    set-difference, so it composes with filters/columns/planning and
+    costs nothing extra. Equality deletes committed in the range still
+    apply to in-range data via the normal sequence scoping; deletes
+    aimed at pre-M data are invisible here (their targets are not
+    scanned), matching append-scan semantics.
 
     ``filters=[(col, op, value), ...]`` (ops: < <= > >= == in, ANDed;
     ``in`` takes a list/tuple of values) pushes the predicate into the
@@ -425,6 +436,12 @@ def decode_store(spark: SparkSession, out_dir: str,
         else store.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no snapshot at {out_dir}")
+    if since_snapshot is not None:
+        base = store.snapshot_at(since_snapshot)
+        seen = set(base["manifests"])
+        snap = {**snap,
+                "manifests": [m for m in snap["manifests"]
+                              if m not in seen]}
     schema = store.arrow_schema(snap)
     # merge-on-read deletes must apply regardless of the requested
     # projection: decode the delete-key columns too, anti-join, and drop

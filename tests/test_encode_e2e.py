@@ -879,6 +879,44 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
     assert sorted(r.id for r in pf.collect()) == want and want
 
 
+def test_incremental_append_scan(spark, tmp_path):
+    """since_snapshot=M reads only data committed after snapshot M
+    (Iceberg incremental append scan) and composes with time travel,
+    filters, and projection."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "store")
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        F.col("id"), (F.col("id") % 5).alias("v"))
+    encode_dataframe(mk(0, 100), out, salt_key="id", num_pids=4)
+    encode_dataframe(mk(100, 250), out, salt_key="id", num_pids=4,
+                     resume=False)
+    encode_dataframe(mk(250, 300), out, salt_key="id", num_pids=4,
+                     resume=False)
+    # full reads unchanged
+    assert decode_store(spark, out).count() == 300
+    # incremental windows
+    inc1 = decode_store(spark, out, since_snapshot=0)
+    assert sorted(r.id for r in inc1.select("id").collect()) \
+        == list(range(100, 300))
+    inc2 = decode_store(spark, out, since_snapshot=1)
+    assert sorted(r.id for r in inc2.select("id").collect()) \
+        == list(range(250, 300))
+    # bounded window: (0, 1] = commit 1 only
+    win = decode_store(spark, out, snapshot=1, since_snapshot=0)
+    assert sorted(r.id for r in win.select("id").collect()) \
+        == list(range(100, 250))
+    # composes with filters + projection; empty window is empty
+    f = decode_store(spark, out, columns=["id"], since_snapshot=0,
+                     filters=[("v", "==", 3)])
+    assert f.columns == ["id"]
+    assert f.count() == sum(1 for i in range(100, 300) if i % 5 == 3)
+    assert decode_store(spark, out, snapshot=1,
+                        since_snapshot=1).count() == 0
+    # distributed planning sees the same incremental window
+    assert decode_store(spark, out, since_snapshot=1,
+                        planning="distributed").count() == 50
+
+
 def test_array_columns_roundtrip(spark, tmp_path):
     """list<T> columns (the embeddings shape) flow through the store:
     lengths + flattened values each take their own codec; bit-identical
