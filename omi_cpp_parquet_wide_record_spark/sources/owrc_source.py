@@ -49,6 +49,11 @@ class OwrcReader(DataSourceReader):
     def __init__(self, schema, options):
         self.schema = schema
         self.root = options.get("path")
+        # snapshot=N time-travels; sinceSnapshot=M reads incrementally
+        # (only manifests committed after M) — mirrors decode_store
+        self._snapshot = options.get("snapshot")
+        self._since = options.get("sincesnapshot",
+                                  options.get("since_snapshot"))
         self._zone_filters: list[tuple[str, str, object]] = []
         if not self.root:
             raise ValueError("owrc source needs a path")
@@ -82,7 +87,13 @@ class OwrcReader(DataSourceReader):
         )
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
         store = ChunkStore(self.root)
-        snap = store.current_snapshot()
+        snap = store.snapshot_at(int(self._snapshot)) \
+            if self._snapshot is not None else store.current_snapshot()
+        if self._since is not None:
+            base = store.snapshot_at(int(self._since))
+            seen = set(base["manifests"])
+            snap = {**snap, "manifests": [m for m in snap["manifests"]
+                                          if m not in seen]}
         manifest = store.manifest_table(snap)
         if self._zone_filters:
             files = prune_files(manifest, self._zone_filters)

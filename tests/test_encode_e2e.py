@@ -660,6 +660,24 @@ def test_fsst_truncated_trailing_marker():
         codec.decode(corrupt, params)
 
 
+def test_owrc_reader_snapshot_options(spark, tmp_path):
+    """format('owrc') supports snapshot=N (time travel) and
+    sinceSnapshot=M (incremental append scan), mirroring decode_store."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "store")
+    mk = lambda lo, hi: spark.range(lo, hi).select(F.col("id"))  # noqa: E731
+    encode_dataframe(mk(0, 80), out, salt_key="id", num_pids=4)
+    encode_dataframe(mk(80, 200), out, salt_key="id", num_pids=4,
+                     resume=False)
+    rd = lambda **opts: (spark.read.format("owrc")  # noqa: E731
+                         .options(path=out, **opts).load())
+    assert rd().count() == 200
+    assert rd(snapshot=0).count() == 80
+    inc = rd(sinceSnapshot=0)
+    assert sorted(r.id for r in inc.select("id").collect()) \
+        == list(range(80, 200))
+
+
 def test_owrc_reader_applies_deletes_and_evolution(spark, tmp_path):
     """format('owrc') reads must match decode_store on stores with
     merge-on-read deletes (sequence-scoped: re-inserted keys visible) and
