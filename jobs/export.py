@@ -51,6 +51,9 @@ def main() -> int:
     ap.add_argument("--columns", nargs="*", default=None)
     ap.add_argument("--snapshot", type=int, default=None,
                     help="time-travel to snapshot N (default: live)")
+    ap.add_argument("--since-snapshot", type=int, default=None,
+                    help="incremental append scan: only rows committed "
+                         "after snapshot M")
     ap.add_argument("--filter", nargs=3, action="append", default=None,
                     metavar=("COL", "OP", "VALUE"),
                     help="pushed-down predicate, repeatable (ANDed)")
@@ -71,7 +74,8 @@ def main() -> int:
     filters = [_parse_filter(f) for f in args.filter] if args.filter else None
     df = decode_store(spark, args.store, columns=args.columns,
                       check_sha=args.check_sha, snapshot=args.snapshot,
-                      filters=filters, planning=args.planning)
+                      filters=filters, planning=args.planning,
+                      since_snapshot=args.since_snapshot)
     writer = df.write.mode("overwrite")
     if args.format == "csv":
         writer.option("header", "true").csv(args.output)
