@@ -41,9 +41,32 @@ def _store_path(sf_dir: str, table: str, cols: list[str],
     """Cache path of a _roundtrip chunk store — the single place the cache
     key is derived (callers must never reconstruct the hash by hand)."""
     key = hashlib.sha256(
-        f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}|v4"
+        f"{sf_dir}|{table}|{cols}|{sorted(overrides.items())}|{variant}"
         .encode()).hexdigest()[:16]
     return os.path.join(_STORE_ROOT, key)
+
+
+def _store_valid(out: str, n_src: int, n_snapshots: int | None = None) -> bool:
+    """Is a cached chunk store safe to reuse? True only when (a) a live
+    snapshot exists, (b) its committed row count matches the source, and
+    (c) the snapshot's recorded engine_fingerprint matches the code
+    currently loaded. (c) replaces the old hand-maintained version tag in
+    the cache key — a codec edit now invalidates every cached store
+    automatically instead of relying on someone remembering a bump."""
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    from omi_cpp_parquet_wide_record_spark.version import engine_fingerprint
+    if not os.path.exists(os.path.join(out, "_current")):
+        return False
+    try:
+        st = ChunkStore(out)
+        snap = st.current_snapshot()
+        if snap.get("engine_fingerprint") != engine_fingerprint():
+            return False
+        if n_snapshots is not None and len(st.snapshots()) != n_snapshots:
+            return False
+        return st.metrics()["rows"] == n_src
+    except Exception:
+        return False
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
@@ -63,17 +86,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str,
     n_src = _pq.ParquetFile(
         os.path.join(sf_dir, f"{table}.parquet")).metadata.num_rows
     out = _store_path(sf_dir, table, cols, overrides, variant)
-    ok = False
-    if os.path.exists(os.path.join(out, "_current")):
-        try:
-            # committed manifest row count (metadata-only, no decode job)
-            from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
-                ChunkStore,
-            )
-            ok = ChunkStore(out).metrics()["rows"] == n_src
-        except Exception:
-            ok = False
-    if not ok:
+    if not _store_valid(out, n_src):
         shutil.rmtree(out, ignore_errors=True)
         encode_dataframe(src, out, salt_key=cols[0], num_pids=8,
                          codec_overrides=overrides)
@@ -99,6 +112,9 @@ def _tune(spark: SparkSession) -> SparkSession:
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        # size(NULL) must be NULL (not -1) to match DuckDB len(NULL);
+        # this default has flipped across Spark versions, so pin it
+        ("spark.sql.legacy.sizeOfNull", "false"),
     ):
         try:
             spark.conf.set(k, v)
@@ -363,14 +379,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          ["vec_id", "label", "embedding"],
                          {"vec_id": "for", "label": "for",
                           "embedding": "list"}, "for_list")
+        # NULL semantics pinned to the oracle's (r4 driver red row): a NULL
+        # embedding folds to 0 (DuckDB: coalesce(list_sum(...), 0)) and a
+        # NULL *element* contributes 0 instead of poisoning the whole fold
+        # to NULL (DuckDB's list_sum skips NULL elements). size(NULL) stays
+        # NULL on both sides (legacy.sizeOfNull pinned false in _tune).
+        zero = F.lit(0).cast("long")
         return dec.select(
             "vec_id", "label",
             F.size("embedding").alias("dim"),
-            F.aggregate(
-                "embedding", F.lit(0).cast("long"),
-                lambda a, x: a + F.floor(x.cast("double")
-                                         * F.lit(1048576.0)).cast("long")
-            ).alias("esum_fp"))
+            F.coalesce(
+                F.aggregate(
+                    "embedding", zero,
+                    lambda a, x: a + F.coalesce(
+                        F.floor(x.cast("double")
+                                * F.lit(1048576.0)).cast("long"), zero)
+                ), zero).alias("esum_fp"))
     q["codec_for_roundtrip"] = _for_list_roundtrip
 
     # ---------------- reference operators O2-O14 over the driver tables
@@ -397,15 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             os.path.join(d, "documents.parquet")).metadata.num_rows
         half = n_src // 2
         out = _store_path(d, "documents", ["evolved"], {}, "v2")
-        ok = False
-        if os.path.exists(os.path.join(out, "_current")):
-            try:
-                st = ChunkStore(out)
-                ok = (st.metrics()["rows"] == n_src
-                      and len(st.snapshots()) == 2)
-            except Exception:
-                ok = False
-        if not ok:
+        if not _store_valid(out, n_src, n_snapshots=2):
             shutil.rmtree(out, ignore_errors=True)
             docs = _read(s, d, "documents")
             # sort_by=doc_id: the write sort order keeps each chunk's
@@ -770,6 +786,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect) — keys mirror queries(); rows-only ops omitted
 # --------------------------------------------------------------------------
 
+def _vv(col: str) -> str:
+    """DuckDB twin of similarity.valid_vector: a scorable vector is
+    non-null, non-empty, and has no null elements (r5 null-surface
+    audit — driver embeddings carry such rows)."""
+    return (f"({col} IS NOT NULL AND len({col}) > 0 "
+            f"AND len(list_filter({col}, x -> x IS NULL)) = 0)")
+
+
 def oracle_sql() -> dict[str, str]:
     t6 = TRUNC6
     sql: dict[str, str] = {}
@@ -831,9 +855,12 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN event_type='click' THEN user_id END AS click_user, "
         "CAST(NULL AS INT) AS locate_code, CAST(NULL AS VARCHAR) AS mpid "
         "FROM events")
+    # NULL fields serialize as EMPTY csv cells (concat_ws SKIPS nulls,
+    # which would drop the comma — r5 null-surface audit)
     sql["o14_csv_sink"] = (
-        "SELECT concat_ws(',', event_id, event_type, user_id) || ',' "
-        "AS csv_row FROM events")
+        "SELECT concat_ws(',', coalesce(CAST(event_id AS VARCHAR), ''), "
+        "coalesce(event_type, ''), coalesce(CAST(user_id AS VARCHAR), '')) "
+        "|| ',' AS csv_row FROM events")
 
     sql["tpch_q1_pricing_summary"] = (
         "SELECT l_returnflag, l_linestatus, "
@@ -1073,7 +1100,8 @@ def oracle_sql() -> dict[str, str]:
         "WITH scored AS (SELECT q.vec_id AS query_id, c.vec_id AS "
         f"neighbor_id, floor(({cos}) * 10000) / 10000 AS cosine "
         "FROM embeddings q, embeddings c "
-        "WHERE q.vec_id < 10 AND q.vec_id != c.vec_id), "
+        "WHERE q.vec_id < 10 AND q.vec_id != c.vec_id "
+        f"AND {_vv('q.embedding')} AND {_vv('c.embedding')}), "
         "ranked AS (SELECT query_id, neighbor_id, cosine, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk "
         "FROM scored) "
@@ -1095,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         f"floor(({cos_ab}) * 10000) / 10000 AS cosine "
         "FROM embeddings a, embeddings b "
         "WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200 "
+        f"AND {_vv('a.embedding')} AND {_vv('b.embedding')} "
         f"AND floor(({cos_ab}) * 10000) / 10000 >= 0.25")
 
     # integer-exact LSH: hyperplane weights are lowbias32 ints (every
@@ -1116,7 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "xor(v, v >> 16) % 2001 - 1000 AS wt FROM w2), "
         "q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
         "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) "
-        "AS qv FROM embeddings), "
+        f"AS qv FROM embeddings WHERE {_vv('embedding')}), "
         "bits AS (SELECT q.vec_id, w.plane, "
         "CASE WHEN sum(q.qv * w.wt) > 0 THEN 1 ELSE 0 END AS bit "
         "FROM q JOIN w USING (d) GROUP BY 1, 2), "
@@ -1194,7 +1223,7 @@ def oracle_sql() -> dict[str, str]:
     # SQL reproduces the numpy kernel bit-for-bit (closes the r2 no_oracle).
     sql["dedup_simhash"] = (
         "WITH tok0 AS (SELECT doc_id, substr(unnest(string_split(text, ' '))"
-        ", 1, 64) AS t FROM documents), "
+        ", 1, 64) AS t FROM documents WHERE text IS NOT NULL), "
         "cs AS (SELECT doc_id, t, list_transform(range(1, length(t)+1), "
         "i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT)) AS c "
         "FROM tok0), "
@@ -1233,7 +1262,8 @@ def oracle_sql() -> dict[str, str]:
         "list_reduce(list_prepend(CAST(42000127 AS BIGINT), "
         "list_transform(range(1, length(text)+1), "
         "i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))), "
-        "(a,b) -> (a*257+b) % 2147483647) AS fp FROM documents")
+        "(a,b) -> (a*257+b) % 2147483647) AS fp FROM documents "
+        "WHERE text IS NOT NULL")
 
     # composition: the minhash-losers subquery is the exact
     # dedup_minhash_lsh statement, nested — but running over the GATED
@@ -1295,7 +1325,7 @@ def oracle_sql() -> dict[str, str]:
         "xor(v, v >> 16) % 2001 - 1000 AS wt FROM w2), "
         "q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
         "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) "
-        "AS qv FROM embeddings), "
+        f"AS qv FROM embeddings WHERE {_vv('embedding')}), "
         "s AS (SELECT q.vec_id, w.c, sum(q.qv * w.wt) AS s "
         "FROM q JOIN w USING (d) GROUP BY 1, 2), "
         "r AS (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id "
@@ -1315,7 +1345,7 @@ def oracle_sql() -> dict[str, str]:
         "xor(v, v >> 16) % 2001 - 1000 AS wt FROM w2), "
         "q AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d, "
         "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576) AS BIGINT) "
-        "AS qv FROM embeddings), "
+        f"AS qv FROM embeddings WHERE {_vv('embedding')}), "
         "s AS (SELECT q.vec_id, w.c, sum(q.qv * w.wt) AS s "
         "FROM q JOIN w USING (d) GROUP BY 1, 2), "
         "r AS (SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id "

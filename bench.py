@@ -49,6 +49,24 @@ def main() -> int:
     timings: dict[str, float] = {}
     t_all = time.time()
 
+    # box-performance canary (VERDICT r4 #8): a fixed pure-numpy kernel —
+    # 256 MB memcpy + random gather — whose MB/s depends only on the box's
+    # memory subsystem and current load, never on engine code. Cross-round
+    # wall-clock comparisons divide by this instead of being argued from
+    # same-code A/Bs (r4's regressions were box state; now it's measured).
+    import numpy as np
+    canary_src = np.arange(32 << 20, dtype=np.int64)        # 256 MB
+    canary_dst = np.empty_like(canary_src)
+    canary_idx = (canary_src * 2654435761 % len(canary_src)).astype(np.int64)
+    canary_best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.copyto(canary_dst, canary_src)                   # memcpy lane
+        gathered = canary_src[canary_idx]                   # gather lane
+        canary_best = min(canary_best, time.time() - t0)
+    canary_mbps = round((canary_src.nbytes * 2) / canary_best / 1e6, 1)
+    del canary_src, canary_dst, canary_idx, gathered
+
     # warmup: spin up python workers + JIT the whole pipeline on a tiny
     # slice so the headline numbers measure steady state, not JVM cold start
     warm_dir = "/tmp/owr_bench_warmup"
@@ -207,6 +225,7 @@ def main() -> int:
                   if timings.get(h, 0) > 0), 3),
         "sf": sf,
         "cpus": cpus,
+        "canary_mbps": canary_mbps,
         "web_rows": rows,
         "encode": encode_stats,
         "golden": golden,

@@ -81,8 +81,16 @@ def type_name(t: pa.DataType) -> str:
         if pa.types.is_large_list(t):
             return f"large_list<{type_name(t.value_type)}>"
         if pa.types.is_struct(t):
-            # field names must not contain ':' or ',' (name_type splits on
-            # them); Spark column naming rules already forbid both here
+            # the serialized type string splits on ':' ',' '<' '>' — Spark
+            # struct field names CAN contain them (backtick-quoted), so a
+            # store written with such a name could never be read back.
+            # Refuse at encode time with a clear error instead.
+            for f in t:
+                if any(ch in f.name for ch in ":,<>"):
+                    raise ValueError(
+                        f"struct field name {f.name!r} contains one of "
+                        "':,<>' which the codec type serialization cannot "
+                        "represent; rename the field before encoding")
             return "struct<" + ",".join(
                 f"{f.name}:{type_name(f.type)}" for f in t) + ">"
         if pa.types.is_map(t):

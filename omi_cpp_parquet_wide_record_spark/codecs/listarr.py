@@ -86,12 +86,20 @@ class MapCodec(Codec):
 
     def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
         from omi_cpp_parquet_wide_record_spark.selector import choose_codec
-        # value_lengths has no map kernel in pyarrow: diff the offsets
+        # value_lengths has no map kernel in pyarrow: diff the offsets.
+        # arr.offsets is slice-adjusted but arr.keys/arr.items are NOT —
+        # a MapArray with non-zero offset (e.g. m.slice(1, 2)) exposes the
+        # full child arrays, so rebase keys/items onto [off[0], off[-1])
+        # explicitly or a sliced input silently mis-pairs entries to rows.
         off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lens = pa.array((off[1:] - off[:-1]).astype(np.int32),
                         type=pa.int32())
+        lo = int(off[0]) if len(off) else 0
+        hi = int(off[-1]) if len(off) else 0
+        keys = arr.keys.slice(lo, hi - lo)
+        items = arr.items.slice(lo, hi - lo)
         subs = []
-        for child in (lens, arr.keys, arr.items):
+        for child in (lens, keys, items):
             e = encode_column(child, choose_codec(child).codec)
             subs.append(e)
         return [e.payload for e in subs], {

@@ -442,8 +442,11 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
                  pa.array(out, type=pa.int64())],
                 names=["id", "simhash"])
 
-    src = _spread(df.select(F.col(id_col).alias("id"),
-                            F.col(text_col).alias("t")))
+    # NULL text carries no tokens to vote — such docs are excluded (same
+    # contract as the other fingerprint ops; r5 null-surface audit)
+    src = _spread(df.filter(F.col(text_col).isNotNull())
+                  .select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("t")))
     return src.mapInArrow(task, "id long, simhash long")
 
 
@@ -544,8 +547,11 @@ def rolling_fingerprints(df: DataFrame, text_col: str = "text",
                  pa.array(fp, type=pa.int64())],
                 names=["id", "fp"])
 
-    src = _spread(df.select(F.col(id_col).alias("id"),
-                            F.col(text_col).alias("t")))
+    # NULL text has no bytes to hash — excluded, matching the other
+    # fingerprint ops (empty text stays: fp = seed0, a defined value)
+    src = _spread(df.filter(F.col(text_col).isNotNull())
+                  .select(F.col(id_col).alias("id"),
+                          F.col(text_col).alias("t")))
     return src.mapInArrow(task, "id long, fp long")
 
 

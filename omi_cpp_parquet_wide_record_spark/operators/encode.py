@@ -90,11 +90,72 @@ class EncodeResult:
         return self.bytes_in / self.bytes_out if self.bytes_out else float("nan")
 
 
+def _nested_stats(arr: pa.Array) -> tuple[str | None, str | None]:
+    """Zone-map bounds for a NESTED chunk column (r5, VERDICT r4 #3):
+    stats serialize as a JSON OBJECT instead of a scalar —
+
+      list/large_list: {"len": bound of value_lengths,
+                        "val": bound of flattened child values}   (child
+                        entry present only when the child has scalar stats)
+      map:             {"len": entry-count bound, "val": item-value bound}
+      struct:          {"f:<name>": bound per child field with stats}
+
+    Readers address these through virtual filter columns ``c#len``,
+    ``c#val`` and ``c#f:<field>`` (prune_files / distributed_file_plan /
+    decode_store residuals). Existential semantics make the flattened
+    value range sound for pruning: a chunk can hold a row with SOME
+    element matching iff the [min,max] of all elements could match —
+    the same rule a scalar column's zone map already uses. The object
+    form never collides with scalar stats on the read side: scalar
+    numeric stats try_cast to null on '{', and the string path guards
+    on a leading '"'."""
+    t = arr.type
+    nn = arr.drop_null() if arr.null_count else arr
+    if len(nn) == 0:
+        return None, None
+    lo_obj: dict[str, object] = {}
+    hi_obj: dict[str, object] = {}
+
+    def _add(key: str, child: pa.Array) -> None:
+        smin, smax = _column_stats(child)
+        if smin is not None:
+            lo_obj[key] = json.loads(smin)
+            hi_obj[key] = json.loads(smax)
+
+    import pyarrow.compute as pc
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lens = pc.list_value_length(nn)
+        mm = pc.min_max(lens)
+        lo_obj["len"] = mm["min"].as_py()
+        hi_obj["len"] = mm["max"].as_py()
+        _add("val", nn.flatten())
+    elif pa.types.is_map(t):
+        off = nn.offsets.to_numpy(zero_copy_only=False)
+        if len(off):
+            import numpy as np
+            lens = np.diff(off.astype(np.int64))
+            lo_obj["len"] = int(lens.min())
+            hi_obj["len"] = int(lens.max())
+            lo, hi = int(off[0]), int(off[-1])
+            _add("val", nn.items.slice(lo, hi - lo))
+    elif pa.types.is_struct(t):
+        if isinstance(nn, pa.ChunkedArray):     # pragma: no cover
+            nn = nn.combine_chunks()
+        for i, f in enumerate(t):
+            _add(f"f:{f.name}", nn.field(i))
+    if not lo_obj:
+        return None, None
+    return json.dumps(lo_obj), json.dumps(hi_obj)
+
+
 def _column_stats(arr: pa.Array) -> tuple[str | None, str | None]:
     """Zone-map bounds for one chunk column: JSON-encoded min/max of the
-    non-null values (timestamps as epoch micros). None for types without a
-    useful total order here (binary, nested) or all-null chunks."""
+    non-null values (timestamps as epoch micros); nested columns get a
+    JSON-object form (see _nested_stats). None for types without a
+    useful total order here (binary) or all-null chunks."""
     t = arr.type
+    if pa.types.is_nested(t):
+        return _nested_stats(arr)
     if not (pa.types.is_integer(t) or pa.types.is_floating(t)
             or pa.types.is_timestamp(t) or pa.types.is_date(t)
             or pa.types.is_string(t) or pa.types.is_large_string(t)
@@ -125,6 +186,10 @@ def _column_stats(arr: pa.Array) -> tuple[str | None, str | None]:
     if pa.types.is_date(t):
         lo = pa.scalar(lo, type=t).cast(pa.int64()).as_py()
         hi = pa.scalar(hi, type=t).cast(pa.int64()).as_py()
+    if pa.types.is_floating(t) and (lo != lo or hi != hi):
+        # NaN bounds are not JSON and not orderable — no stats is the
+        # only sound answer (NaN sorts inconsistently across engines)
+        return None, None
     return json.dumps(lo), json.dumps(hi)
 
 

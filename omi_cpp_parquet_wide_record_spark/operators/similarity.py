@@ -33,6 +33,18 @@ def trunc(col, digits: int):
     return F.floor(col * m) / m
 
 
+def valid_vector(col):
+    """Catalyst predicate for a scorable vector: non-null, non-empty, no
+    null elements. The declarative twin of the kernel-side
+    _fixed_vector_rows contract — every similarity operator applies one
+    of the two, so NULL-bearing embedding tables (driver data carries
+    them; r5 null-surface audit) can never poison a cosine to NULL/NaN
+    or misalign a flattened batch."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & (F.size(c) > 0) & \
+        ~F.exists(c, lambda x: x.isNull())
+
+
 def _cosine(a, b):
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
@@ -51,10 +63,12 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     queries is expected small (it is broadcast); corpus streams through the
     executors once — the scalable brute-force shape.
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("cv"))
+    q = queries.filter(valid_vector(vec_col)) \
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).cast("array<double>").alias("qv"))
+    c = corpus.filter(valid_vector(vec_col)) \
+        .select(F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", trunc(_cosine(F.col("qv"),
@@ -71,6 +85,7 @@ def cosine_pairs(df: DataFrame, threshold: float = 0.9,
                  round_to: int = 4) -> DataFrame:
     """Embedding near-duplicate pairs: all (a<b) with cosine >= threshold.
     Exact O(n^2) form — the oracle baseline; use LSH for the scale path."""
+    df = df.filter(valid_vector(vec_col))
     a = df.select(F.col(id_col).alias("id_a"),
                   F.col(vec_col).cast("array<double>").alias("va"))
     b = df.select(F.col(id_col).alias("id_b"),
@@ -248,16 +263,43 @@ def lsh_cosine_candidates(df: DataFrame, n_planes: int = 12, bands: int = 3,
 # --------------------------------------------------------------- IVF-lite
 
 def _fixed_vector_rows(b: pa.RecordBatch, col: str = "v"):
-    """(batch, list_column) with null-vector rows DROPPED and ragged
+    """(batch, list_column) with INVALID vector rows DROPPED and ragged
     lengths rejected — the vector-kernel contract established by
-    _pair_cosine_quantized: a null vector never scores/assigns (the
-    join-plan re-rank drops such pairs, so every plan shape observes the
-    same result), and ragged dims fail loudly instead of flatten()
-    silently misaligning every row after the first bad one."""
+    _pair_cosine_quantized and extended for the r5 null-surface audit:
+    a vector participates only if it is non-null, non-empty, and has no
+    null ELEMENTS (a null component cannot be quantized; the join-plan
+    re-rank drops such pairs, so every plan shape observes the same
+    result). Surviving rows must share one dim — genuinely ragged clean
+    vectors still fail loudly instead of flatten() silently misaligning
+    every row after the first bad one."""
     lst = b.column(col)
-    if lst.null_count:
-        b = b.filter(lst.is_valid())
+    if isinstance(lst, pa.ChunkedArray):          # pragma: no cover
+        lst = lst.combine_chunks()
+    # null rows and empty vectors out first (empty ⇒ zero norm ⇒ NaN
+    # cosine, which Spark and SQL engines order differently)
+    lens0 = pc.fill_null(pc.list_value_length(lst), 0)
+    keep = pc.and_(lst.is_valid(),
+                   pc.greater(lens0, 0))
+    if not (pc.all(keep).as_py() if b.num_rows else True):
+        b = b.filter(keep)
         lst = b.column(col)
+        if isinstance(lst, pa.ChunkedArray):      # pragma: no cover
+            lst = lst.combine_chunks()
+    # rows with null elements out next (segmented child-validity count)
+    if b.num_rows:
+        flat = lst.flatten()
+        if flat.null_count:
+            lens = pc.list_value_length(lst) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            cv = flat.is_valid().to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            seg = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=seg[1:])
+            rowok = np.add.reduceat(cv, seg[:-1]) == lens
+            b = b.filter(pa.array(rowok))
+            lst = b.column(col)
+            if isinstance(lst, pa.ChunkedArray):  # pragma: no cover
+                lst = lst.combine_chunks()
     if b.num_rows:
         vl = pc.min_max(lst.value_lengths())
         if vl["min"].as_py() != vl["max"].as_py():
@@ -366,7 +408,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     pruning bounds the shuffle to k rows per (query, batch): the global
     top-k under (cosine DESC, neighbor_id ASC) is a subset of the union
     of per-batch top-k under the same order. A larger query side falls
-    back to the join-based plan (_ivf_topk_join)."""
+    back to the join-based plan (_ivf_topk_join).
+
+    NOTE: choosing between the two plans runs an EAGER bounded action
+    (limit(cap+1).collect() of the query side) at call time — this
+    function is not side-effect-free plan construction, and the fused
+    result is frozen to the query rows collected here rather than
+    re-evaluated on each downstream action."""
     qrows = queries.select(F.col(id_col).alias("id"),
                            F.col(vec_col).cast("array<double>").alias("v")) \
         .limit(IVF_BROADCAST_QUERY_CAP + 1).collect()
@@ -381,9 +429,11 @@ def _ivf_topk_fused(corpus: DataFrame, qrows, k: int, nprobe: int,
                     n_centroids: int, id_col: str, vec_col: str,
                     seed: int, round_to: int = 4) -> DataFrame:
     spark = corpus.sparkSession
-    # null query vectors can never score (the join plan's re-rank kernel
-    # dropped such pairs); drop them here for the same observable result
-    qrows = [r for r in qrows if r["v"] is not None]
+    # invalid query vectors (null / empty / null elements) can never score
+    # (the join plan's kernels drop them); drop here for the same result
+    qrows = [r for r in qrows
+             if r["v"] is not None and len(r["v"]) > 0
+             and all(x is not None for x in r["v"])]
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, cosine double, rk int")

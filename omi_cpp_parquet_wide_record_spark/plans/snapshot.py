@@ -32,6 +32,10 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from omi_cpp_parquet_wide_record_spark.version import (
+    engine_fingerprint as _engine_fingerprint,
+)
+
 MANIFEST_SCHEMA = pa.schema([
     ("chunk_file", pa.string()),
     ("pid", pa.int32()),          # resume/partition unit
@@ -220,6 +224,10 @@ class ChunkStore:
             "delete_files": self.delete_files(parent) if keep_parent else [],
             "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),
             "stats": stats or {},
+            # content hash of the encode/decode code that wrote this
+            # snapshot — cached-store reuse checks it against the loaded
+            # code so a codec edit can never serve stale bytes
+            "engine_fingerprint": _engine_fingerprint(),
         }
         sname = f"snapshot-{n:05d}.json"
         self._write_snapshot_json(sname, snap)

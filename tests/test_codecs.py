@@ -235,3 +235,51 @@ def test_prop_text(codec, xs):
              max_size=12)), max_size=120))
 def test_prop_list_int(xs):
     roundtrip(pa.array(xs, type=pa.list_(pa.int64())), "list")
+
+
+# ---------------------------------------------------------------- slices
+
+def test_sliced_nested_roundtrips():
+    """Nested codecs must be offset-correct on SLICED arrays: a MapArray
+    slice exposes slice-adjusted offsets but the FULL child keys/items
+    arrays, so the codec has to rebase the children explicitly (r5 fix;
+    list/large_list flatten() is already slice-aware but is pinned here
+    too so a pyarrow behavior change is caught)."""
+    m = pa.array([{"a": 1}, {"b": 2, "c": 3}, {"d": 4}, {"e": 5, "f": 6}],
+                 type=pa.map_(pa.string(), pa.int64()))
+    for lo, n in ((1, 2), (0, 3), (2, 2), (1, 3)):
+        s = m.slice(lo, n)
+        e = encode_column(s, "map")
+        d = decode_column(e.payload, e.params)
+        assert d.to_pylist() == s.to_pylist(), (lo, n)
+
+    ls = pa.array([[1, 2], [3], [], [4, 5, 6], None, [7]],
+                  type=pa.list_(pa.int64()))
+    for lo, n in ((1, 3), (0, 4), (3, 3), (2, 4)):
+        s = ls.slice(lo, n)
+        e = encode_column(s, "list")
+        d = decode_column(e.payload, e.params)
+        assert d.to_pylist() == s.to_pylist(), (lo, n)
+
+    stc = pa.array([{"a": 1, "b": "x"}, {"a": 2, "b": "y"},
+                    None, {"a": 4, "b": "w"}],
+                   type=pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    for lo, n in ((1, 2), (0, 3), (2, 2)):
+        s = stc.slice(lo, n)
+        e = encode_column(s, "struct")
+        d = decode_column(e.payload, e.params)
+        assert d.to_pylist() == s.to_pylist(), (lo, n)
+
+
+def test_struct_field_name_validation():
+    """Field names containing ':' ',' '<' '>' cannot be represented in the
+    serialized type string; encode must refuse them up front (a store that
+    encodes but cannot decode is the worst failure mode)."""
+    for bad in ("a:b", "a,b", "a<b", "a>b"):
+        arr = pa.array([{bad: 1}], type=pa.struct([(bad, pa.int64())]))
+        with pytest.raises(ValueError, match="field name"):
+            encode_column(arr, "struct")
+    # plain names with other punctuation stay fine
+    ok = pa.array([{"a.b c-d": 1}],
+                  type=pa.struct([("a.b c-d", pa.int64())]))
+    roundtrip(ok, "struct")

@@ -1108,3 +1108,55 @@ def test_in_list_filter_pushdown(spark, tmp_path):
     b = decode_store(spark, out, filters=[("url", "in", urls)],
                      planning="distributed")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_engine_fingerprint_invalidates_cached_store(spark, tmp_path):
+    """The r4 stale-store hazard: snapshot records the engine fingerprint
+    at commit time, and cached-store reuse (__spark_entry__._store_valid)
+    must reject a store whose recorded fingerprint differs from the code
+    currently loaded — a codec edit may never serve stale bytes to the
+    correctness gate."""
+    import pyspark.sql.functions as F
+
+    from omi_cpp_parquet_wide_record_spark import version
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+
+    out = str(tmp_path / "fp_store")
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("s"))
+    encode_dataframe(df, out, salt_key="id", num_pids=2)
+
+    snap = ChunkStore(out).current_snapshot()
+    assert snap["engine_fingerprint"] == version.engine_fingerprint()
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    assert entry._store_valid(out, 200)
+    assert not entry._store_valid(out, 199)          # row-count mismatch
+
+    # simulate a codec-layer edit: the loaded code's fingerprint changes,
+    # so the SAME on-disk store must now be rejected
+    saved = version._FINGERPRINT
+    try:
+        version._FINGERPRINT = "deadbeef00000000"
+        assert not entry._store_valid(out, 200)
+    finally:
+        version._FINGERPRINT = saved
+    assert entry._store_valid(out, 200)
+
+    # a store written before fingerprints existed (no key) is rejected too
+    import json
+    import os
+    with open(os.path.join(out, "_current")) as f:
+        sname = f.read().strip()
+    spath = os.path.join(out, "snapshots", sname)
+    with open(spath) as f:
+        sj = json.load(f)
+    sj.pop("engine_fingerprint")
+    with open(spath, "w") as f:
+        json.dump(sj, f)
+    assert not entry._store_valid(out, 200)
