@@ -141,11 +141,22 @@ class ChunkStore:
             out.update(t.column("run_id").to_pylist())
         return out
 
-    def manifest_table(self, snapshot: dict | None = None) -> pa.Table:
-        """All manifest rows of a snapshot (default: the live one)."""
+    def manifest_table(self, snapshot: dict | None = None,
+                       with_commit_n: bool = False) -> pa.Table:
+        """All manifest rows of a snapshot (default: the live one).
+
+        ``with_commit_n=True`` appends each row's manifest COMMIT number
+        as an int32 ``commit_n`` column (from the snapshot's manifest_n
+        record — driver-side metadata, no extra I/O). Sequence-scoped
+        delete reads derive per-chunk epochs from this instead of
+        re-reading every manifest parquet on the driver (VERDICT r4 #6)."""
         snap = snapshot or self.current_snapshot()
+        empty = MANIFEST_SCHEMA.empty_table()
+        if with_commit_n:
+            empty = empty.append_column(
+                "commit_n", pa.array([], type=pa.int32()))
         if not snap or not snap["manifests"]:
-            return MANIFEST_SCHEMA.empty_table()
+            return empty
         tables = []
         for m in snap["manifests"]:
             t = pq.read_table(os.path.join(self.manifests_dir, m))
@@ -154,7 +165,12 @@ class ChunkStore:
                 if f.name not in t.schema.names:
                     t = t.append_column(
                         f.name, pa.nulls(t.num_rows, type=f.type))
-            tables.append(t.select(MANIFEST_SCHEMA.names))
+            t = t.select(MANIFEST_SCHEMA.names)
+            if with_commit_n:
+                n = self.manifest_commit_n(snap, m)
+                t = t.append_column("commit_n", pa.array(
+                    [n] * t.num_rows, type=pa.int32()))
+            tables.append(t)
         return pa.concat_tables(tables)
 
     def arrow_schema(self, snapshot: dict | None = None) -> pa.Schema:

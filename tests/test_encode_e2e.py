@@ -1160,3 +1160,218 @@ def test_engine_fingerprint_invalidates_cached_store(spark, tmp_path):
     with open(spath, "w") as f:
         json.dump(sj, f)
     assert not entry._store_valid(out, 200)
+
+
+def test_nested_zone_map_pruning(spark, tmp_path):
+    """Nested-column zone maps (r5): list/struct/map chunks record length
+    bounds + flattened child value bounds as JSON-object stats, and the
+    virtual filter columns c#len / c#val / c#f:<field> prune chunk files
+    AND apply exact residuals. Checks: real file reduction, residual
+    exactness vs full-decode + the equivalent Spark filter, and
+    driver/distributed planning parity."""
+    import os
+
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan, prune_files,
+    )
+    N = 4000
+    # embedding length and values both correlate with id, and the store
+    # sorts by id, so per-chunk [len, val] zone ranges are tight
+    df = spark.range(0, N).select(
+        F.col("id"),
+        (F.col("id") / 400).cast("long").alias("bucket"),
+        F.transform(F.sequence(F.lit(1), F.col("id") % 8 + 2),
+                    lambda i: (F.col("id") * 10 + i).cast("double"))
+         .alias("emb"),
+        F.struct((F.col("id") % 97).cast("long").alias("x"),
+                 F.concat(F.lit("s-"), (F.col("id") % 5)).alias("tag"))
+         .alias("pt"),
+        F.create_map(F.lit("a"), F.col("id"),
+                     F.lit("b"), F.col("id") * 2).alias("props"))
+    out = str(tmp_path / "store")
+    # partition on id-range buckets: chunks cluster id ranges, so the
+    # value-correlated nested stats (emb values = id*10+i) get tight
+    # per-chunk zones — the layout a sort-ordered ingest produces
+    encode_dataframe(df, out, partition_by=["bucket"], salt_key="id",
+                     num_pids=12, salt=1, sort_by=["id"])
+    full = decode_store(spark, out).cache()
+    assert full.count() == N
+    store = ChunkStore(out)
+    snap = store.current_snapshot()
+    m = store.manifest_table(snap)
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+    all_files = prune_files(m, [])
+
+    # 1) pruning actually reduces the file set on nested filters
+    f_len = [("emb#len", "==", 2)]                  # only ids % 8 == 0
+    f_val = [("emb#val", ">=", float((N - 200) * 10))]  # top id slice
+    f_fld = [("pt#f:x", "==", 5)]
+    assert len(prune_files(m, f_val)) < len(all_files)
+    for filters in (f_len, f_val, f_fld):
+        assert prune_files(m, filters), filters     # never empty: rows exist
+
+    # 2) residual exactness: pruned read == full decode + Spark filter
+    cases = [
+        (f_len, F.size("emb") == 2),
+        ([("emb#len", ">", 7)], F.size("emb") > 7),
+        (f_val, F.exists("emb", lambda x: x >= float((N - 200) * 10))),
+        ([("emb#val", "<", 25.0)],
+         F.exists("emb", lambda x: x < 25.0)),
+        (f_fld, F.col("pt.x") == 5),
+        ([("pt#f:tag", "==", "s-3")], F.col("pt.tag") == "s-3"),
+        ([("props#len", "==", 2)], F.size("props") == 2),
+        ([("props#val", ">=", float(2 * (N - 100)))],
+         F.exists(F.map_values("props"),
+                  lambda x: x >= 2 * (N - 100))),
+        # conjunction across nested + scalar
+        ([("emb#len", ">=", 8), ("id", "<", 500)],
+         (F.size("emb") >= 8) & (F.col("id") < 500)),
+    ]
+    for filters, expr in cases:
+        want = sorted(r.id for r in full.filter(expr)
+                      .select("id").collect())
+        got = sorted(r.id for r in
+                     decode_store(spark, out, filters=filters)
+                     .select("id").collect())
+        assert got == want and want, (filters, len(got), len(want))
+        # 3) driver/distributed parity on the same chunk-file set
+        drv = prune_files(m, filters)
+        dist = sorted(r.chunk_file for r in
+                      distributed_file_plan(spark, paths, filters)
+                      .collect())
+        assert drv == dist, (filters, len(drv), len(dist))
+
+    # 4) filter on a non-projected nested column decodes it for the
+    # residual and drops it in the projection (Iceberg semantics)
+    pf = decode_store(spark, out, columns=["id"],
+                      filters=[("emb#len", "==", 2)])
+    assert pf.columns == ["id"]
+    want = sorted(r.id for r in full.filter(F.size("emb") == 2)
+                  .select("id").collect())
+    assert sorted(r.id for r in pf.collect()) == want and want
+
+
+def test_nested_pruning_fuzz_never_loses_rows(spark, tmp_path):
+    """Seeded fuzz over nested accessors: any conjunction mixing
+    c#len / c#val / c#f: and scalar filters must return exactly the
+    full-decode + post-filter rows (over-pruning on the new stats would
+    be silent data loss), driver == distributed file sets."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan, prune_files,
+    )
+    rnd = random.Random(20260818)
+    N = 3000
+    df = spark.range(0, N).select(
+        F.col("id"),
+        F.transform(F.sequence(F.lit(1), F.col("id") % 6 + 1),
+                    lambda i: ((F.col("id") + i * 13) % 500).cast("long"))
+         .alias("vals"),
+        F.struct((F.col("id") % 41).cast("long").alias("a"),
+                 ((F.col("id") * 7) % 29).cast("long").alias("b"))
+         .alias("st"))
+    out = str(tmp_path / "store")
+    encode_dataframe(df, out, salt_key="id", num_pids=8,
+                     chunk_rows=300, sort_by=["id"])
+    full = decode_store(spark, out).cache()
+    assert full.count() == N
+    store = ChunkStore(out)
+    snap = store.current_snapshot()
+    m = store.manifest_table(snap)
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+
+    def rand_filter():
+        kind = rnd.choice(["len", "val", "fld", "scalar"])
+        op = rnd.choice(["<", "<=", ">", ">=", "=="])
+        if kind == "len":
+            return ("vals#len", op, rnd.randrange(0, 8))
+        if kind == "val":
+            return ("vals#val", op, rnd.randrange(0, 520))
+        if kind == "fld":
+            f = rnd.choice(["a", "b"])
+            return (f"st#f:{f}", op, rnd.randrange(0, 45))
+        return ("id", op, rnd.randrange(0, N + 100))
+
+    def as_expr(c, op, v):
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            _split_filter_col,
+        )
+        base, acc = _split_filter_col(c)
+        ops = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+               ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+               "==": lambda a, b: a == b}
+        if acc == "len":
+            return ops[op](F.size(base), v)
+        if acc == "val":
+            return F.exists(base, lambda x: ops[op](x, v))
+        if acc and acc.startswith("f:"):
+            return ops[op](F.col(f"{base}.{acc[2:]}"), v)
+        return ops[op](F.col(c), v)
+
+    for trial in range(20):
+        filters = [rand_filter() for _ in range(rnd.randrange(1, 4))]
+        cond = None
+        for c, op, v in filters:
+            e = as_expr(c, op, v)
+            cond = e if cond is None else (cond & e)
+        want = sorted(r.id for r in full.filter(cond)
+                      .select("id").collect())
+        got = sorted(r.id for r in
+                     decode_store(spark, out, filters=filters)
+                     .select("id").collect())
+        assert got == want, (trial, filters, len(got), len(want))
+        if trial % 4 == 0:
+            drv = prune_files(m, filters)
+            dist = sorted(r.chunk_file for r in
+                          distributed_file_plan(spark, paths, filters)
+                          .collect())
+            assert drv == dist, (trial, filters)
+
+
+def test_delete_scoping_reads_each_manifest_once(spark, tmp_path,
+                                                 monkeypatch):
+    """Driver planning with sequence-scoped deletes must not re-read
+    manifest parquets to learn commit epochs — commit_n rides the
+    manifest table the planner loads anyway (one read per manifest
+    total, delete or no delete)."""
+    from pyspark.sql import functions as F
+
+    from omi_cpp_parquet_wide_record_spark.operators import encode as enc
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        decode_store,
+    )
+    out = str(tmp_path / "store")
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("k"))
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows,
+    )
+    enc.encode_dataframe(df, out, salt_key="id", num_pids=4)
+    delete_rows(out, spark.range(10, 20).select(F.col("id")), "id")
+    enc.encode_dataframe(
+        spark.range(10, 15).select(
+            F.col("id"), (F.col("id") % 7).cast("string").alias("k")),
+        out, salt_key="id", num_pids=4, resume=False)
+
+    import pyarrow.parquet as pq_mod
+    calls = {"n": 0}
+    real = pq_mod.read_table
+
+    def counting(path, *a, **kw):
+        if "manifests" in str(path):
+            calls["n"] += 1
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(pq_mod, "read_table", counting)
+    got = decode_store(spark, out).count()
+    store = ChunkStore(out)
+    n_manifests = len(store.current_snapshot()["manifests"])
+    assert calls["n"] == n_manifests, (calls["n"], n_manifests)
+    # rows 10-19 deleted from commit 0, 10-14 re-inserted after -> 395
+    assert got == 395, got
