@@ -779,6 +779,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _read(s, d, "embeddings").filter(F.col("vec_id") < 10),
         k=5, nprobe=2)
 
+    # materialized IVF index (r5): built once into a cached chunk store
+    # partitioned by centroid; probes read only the probed cells' files.
+    # Result is bit-identical to ann_ivf_topk, so it shares that oracle.
+    def _ivf_indexed(s, d):
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        _tune(s)
+        t = _pq.read_table(os.path.join(d, "embeddings.parquet"),
+                           columns=["embedding"])
+        col = t.column("embedding").combine_chunks()
+        lens = _pc.fill_null(_pc.list_value_length(col), 0) \
+            .to_numpy(zero_copy_only=False)
+        import numpy as np
+        nonempty = col.is_valid().to_numpy(zero_copy_only=False) \
+            & (lens > 0)
+        flat = col.flatten()
+        childbad = np.zeros(len(col), dtype=bool)
+        if flat.null_count:
+            cv = flat.is_valid().to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ln = np.where(nonempty, lens, 0).astype(np.int64)
+            seg = np.zeros(len(ln) + 1, dtype=np.int64)
+            np.cumsum(ln, out=seg[1:])
+            nz = ln > 0
+            cnt = np.zeros(len(ln), dtype=np.int64)
+            if nz.any():
+                cnt[nz] = np.add.reduceat(cv, seg[:-1][nz])
+            childbad = nonempty & (cnt != ln)
+        n_valid = int((nonempty & ~childbad).sum())
+        out = _store_path(d, "embeddings", ["ivf_index"], {}, "ivf")
+        if not _store_valid(out, n_valid):
+            shutil.rmtree(out, ignore_errors=True)
+            similarity.build_ivf_index(_read(s, d, "embeddings"), out)
+        return similarity.ivf_topk_indexed(
+            s, out, _read(s, d, "embeddings").filter(F.col("vec_id") < 10),
+            k=5, nprobe=2)
+    q["ann_ivf_topk_indexed"] = _ivf_indexed
+
     return q
 
 
@@ -1367,6 +1405,8 @@ def oracle_sql() -> dict[str, str]:
         "AS rk FROM scored) "
         "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk "
         "FROM ranked WHERE rk <= 5")
+    # the materialized index returns the identical result by construction
+    sql["ann_ivf_topk_indexed"] = sql["ann_ivf_topk"]
 
     # media kernels vs the scalar per-image golden (independent impl);
     # payloads depend only on (id, seed) so the golden is sf-agnostic

@@ -158,6 +158,7 @@ def main() -> int:
         "ann_lsh_candidates", "streaming_tumbling_counts",
         "codec_dict_fsst_roundtrip", "codec_multi_roundtrip_events",
         "pcap_parse", "corpus_curation", "ann_ivf_topk",
+        "ann_ivf_topk_indexed",
     ]
     # cold vs warm (VERDICT r3 #3): _rotate_cache reuses persisted plans
     # across identical calls, so a bare min-of-N would report warm-cache

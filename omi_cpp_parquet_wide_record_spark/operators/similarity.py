@@ -427,7 +427,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def _ivf_topk_fused(corpus: DataFrame, qrows, k: int, nprobe: int,
                     n_centroids: int, id_col: str, vec_col: str,
-                    seed: int, round_to: int = 4) -> DataFrame:
+                    seed: int, round_to: int = 4,
+                    assign_col: str | None = None) -> DataFrame:
     spark = corpus.sparkSession
     # invalid query vectors (null / empty / null elements) can never score
     # (the join plan's kernels drop them); drop here for the same result
@@ -462,7 +463,12 @@ def _ivf_topk_fused(corpus: DataFrame, qrows, k: int, nprobe: int,
             flat = lst.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.float64)
             C = np.floor(flat * LSH_SCALE).astype(np.int64).reshape(n, -1)
-            assign = (C @ cents.T).argmax(axis=1)        # first max wins
+            if "assign" in b.schema.names:
+                # materialized index: assignment was computed at build
+                # time and stored alongside the vectors — skip the matmul
+                assign = b.column("assign").to_numpy(zero_copy_only=False)
+            else:
+                assign = (C @ cents.T).argmax(axis=1)    # first max wins
             cnorm = np.sqrt(np.einsum("ij,ij->i", C, C).astype(np.float64))
             out_q, out_n, out_c = [], [], []
             for c in range(n_centroids):
@@ -500,8 +506,10 @@ def _ivf_topk_fused(corpus: DataFrame, qrows, k: int, nprobe: int,
                  pa.array(cc[keep], type=pa.float64())],
                 names=["query_id", "neighbor_id", "cosine"])
 
-    src = corpus.select(F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("v"))
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if assign_col is not None:
+        cols.append(F.col(assign_col).cast("int").alias("assign"))
+    src = corpus.select(*cols)
     scored = src.mapInArrow(
         task, "query_id long, neighbor_id long, cosine double")
     rw = Window.partitionBy("query_id").orderBy(
@@ -541,3 +549,73 @@ def _ivf_topk_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rk", F.row_number().over(rw))
             .filter(F.col("rk") <= k)
             .select("query_id", "neighbor_id", "cosine", "rk"))
+
+
+# ------------------------------------------------- materialized IVF index
+
+def build_ivf_index(corpus: DataFrame, store_dir: str,
+                    n_centroids: int = 16, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 42,
+                    num_pids: int | None = None, chunk_rows: int = 8192):
+    """Materialize the IVF index ONCE into a chunk store (VERDICT r4 #5):
+    every corpus vector is assigned to its centroid (the same exact
+    integer quantizer as ivf_assign) and the (id, centroid, vector) rows
+    are written partitioned + sorted by centroid, so each chunk file's
+    centroid zone map is a tight cell range. ivf_topk_indexed then reads
+    ONLY the files whose zones intersect the probed cells —
+    ~nprobe/n_centroids of the index instead of the whole corpus, the
+    repartition-by-centroid story ivf_topk's docstring promises, made
+    real. Invalid vectors (null/empty/null elements) are excluded at
+    build time, matching every other plan shape.
+
+    Returns the encode result (rows/bytes/snapshot)."""
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, seed)
+    vecs = corpus.filter(valid_vector(vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    idx = assigned.join(vecs, "id").select("id", "centroid", "v")
+    return encode_dataframe(
+        idx, store_dir, partition_by=["centroid"], salt_key="id",
+        num_pids=num_pids or n_centroids * 4, salt=1,
+        sort_by=["centroid"], chunk_rows=chunk_rows)
+
+
+def ivf_topk_indexed(spark, index_store: str, queries: DataFrame,
+                     k: int = 5, nprobe: int = 2, n_centroids: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     seed: int = 42) -> DataFrame:
+    """IVF probe search against a build_ivf_index store: probe cells are
+    chosen from the collected query side (same bounded-collect contract
+    and cap as ivf_topk's fused path), the store scan carries a
+    ``centroid IN probed_cells`` filter so zone maps open only the
+    probed cells' chunk files, and the stored assignment feeds the fused
+    kernel directly (no re-assignment matmul). Bit-identical to
+    ivf_topk(corpus, queries, ...) on the same corpus/params — pinned by
+    pytest parity."""
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        decode_store,
+    )
+    qrows = queries.filter(valid_vector(vec_col)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v")) \
+        .limit(IVF_BROADCAST_QUERY_CAP + 1).collect()
+    if len(qrows) > IVF_BROADCAST_QUERY_CAP:
+        raise ValueError(
+            f"indexed IVF probe requires a query side under "
+            f"{IVF_BROADCAST_QUERY_CAP} rows (got more); use ivf_topk's "
+            "join plan for large query sides")
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rk int")
+    qmat = np.asarray([r["v"] for r in qrows], dtype=np.float64)
+    cents = int_hyperplanes(qmat.shape[1], n_centroids, seed + 1)
+    Q = np.floor(qmat * LSH_SCALE).astype(np.int64)
+    qscores = Q @ cents.T
+    probe_cells = np.argsort(-qscores, axis=1, kind="stable")[:, :nprobe]
+    cells = sorted(int(c) for c in np.unique(probe_cells))
+    corpus = decode_store(spark, index_store,
+                          filters=[("centroid", "in", cells)])
+    return _ivf_topk_fused(corpus, qrows, k, nprobe, n_centroids,
+                           "id", "v", seed, assign_col="centroid")

@@ -780,3 +780,46 @@ def test_stream_encode_two_interleaved_lineages(spark, tmp_path):
     expect = {(i, f"a{i}") for i in range(150)} | \
              {(i, f"b{i}") for i in range(1000, 1150)}
     assert rows == expect
+
+
+def test_materialized_ivf_index_parity_and_pruning(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed (r5): the materialized index
+    must (a) return the BIT-IDENTICAL result of the ad-hoc ivf_topk on
+    the same corpus/params — including null-surface rows dropped at
+    build time — and (b) open only the probed cells' chunk files (the
+    centroid zone maps must exclude a real fraction of the index)."""
+    import numpy as np
+
+    from omi_cpp_parquet_wide_record_spark.fixtures import splitmix64
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        prune_files,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+
+    n, dim = 600, 16
+    raw = splitmix64(np.arange(n * dim, dtype=np.uint64) + np.uint64(11))
+    vecs = (raw.astype(np.float64) / 2.0**64 - 0.5).reshape(n, dim)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    # null surface: NULL vector, empty vector, null element — build must
+    # drop them exactly like every other plan shape
+    rows += [(n, None), (n + 1, []),
+             (n + 2, [None] + [0.5] * (dim - 1))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = df.filter(F.col("vec_id") < 8)
+
+    out = str(tmp_path / "ivf_index")
+    res = similarity.build_ivf_index(df, out, n_centroids=8)
+    assert res.rows == n                       # invalid vectors excluded
+
+    adhoc = sorted(tuple(r) for r in similarity.ivf_topk(
+        df, qdf, k=3, nprobe=2, n_centroids=8).collect())
+    indexed = sorted(tuple(r) for r in similarity.ivf_topk_indexed(
+        spark, out, qdf, k=3, nprobe=2, n_centroids=8).collect())
+    assert adhoc == indexed and adhoc
+
+    # probe reads touch a strict subset of the index's chunk files
+    store = ChunkStore(out)
+    m = store.manifest_table()
+    all_files = prune_files(m, [])
+    probed = prune_files(m, [("centroid", "in", [0, 3])])
+    assert 0 < len(probed) < len(all_files), (len(probed), len(all_files))
