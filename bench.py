@@ -84,12 +84,14 @@ def main() -> int:
     store_dir = f"/tmp/owr_bench_store_{rows}"
     shutil.rmtree(store_dir, ignore_errors=True)
 
-    # work units sized for ~2 MB of input each; the salt must be fine
+    # work units sized for ~4 MB of input each (r5 sweep: 2 MB units paid
+    # ~18% in per-call codec overheads — selector trials + per-chunk FSST
+    # training are amortized over 2x the bytes at ~1% ratio cost; 16 MB
+    # units re-introduced straggler tails). The salt must stay fine
     # enough that a Zipf-hot language splits into units of that size too —
     # coarse salting (r1 used salt=8) left 30+ MB straggler pids that
-    # serialized the tail of the job. min-of-2 runs: the box is shared and
-    # single measurements swing 2x.
-    num_pids = max(cpus, min(cpus * 8, rows * 5200 // (2 << 20)))
+    # serialized the tail of the job.
+    num_pids = max(cpus, min(cpus * 8, rows * 5200 // (4 << 20)))
     timings["encode_web"] = float("inf")
     for _ in range(3):
         shutil.rmtree(store_dir, ignore_errors=True)

@@ -47,10 +47,30 @@ def engine_fingerprint() -> str:
         elif os.path.exists(full):
             paths.append(full)
     h = hashlib.sha256()
-    for p in sorted(paths):
-        rel = os.path.relpath(p, pkg_root)
-        h.update(rel.encode())
-        with open(p, "rb") as f:
-            h.update(f.read())
+    if paths:
+        for p in sorted(paths):
+            rel = os.path.relpath(p, pkg_root)
+            h.update(rel.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    else:
+        # zipimport (--py-files): the package dir is inside an archive,
+        # so walk/open see nothing — hash module SOURCES via the import
+        # loaders instead (zipimporter implements get_source)
+        import importlib.util
+        pkg = __name__.rsplit(".", 1)[0]
+        mods = ["codecs", "codecs.base", "codecs.dictionary",
+                "codecs.fsst", "codecs.intcodecs", "codecs.listarr",
+                "codecs.plain", "selector", "operators.encode",
+                "operators.decode", "plans.snapshot", "schema"]
+        for m in mods:
+            try:
+                spec = importlib.util.find_spec(f"{pkg}.{m}")
+                src = spec.loader.get_source(spec.name)  # type: ignore
+            except Exception:
+                continue
+            if src:
+                h.update(m.encode())
+                h.update(src.encode())
     _FINGERPRINT = h.hexdigest()[:16]
     return _FINGERPRINT
