@@ -385,8 +385,14 @@ def plain_size(arr: pa.Array) -> int:
     return _WIDTHS[type_name(t)] * n
 
 
-def encode_column(arr: pa.Array, codec_name: str) -> Encoded:
-    """Null-aware entry point: strips nulls, bitmaps them, delegates to codec."""
+def encode_column(arr: pa.Array, codec_name: str,
+                  shared: dict | None = None) -> Encoded:
+    """Null-aware entry point: strips nulls, bitmaps them, delegates to codec.
+
+    ``shared`` is an optional mutable dict scoped by the caller to one
+    data distribution (e.g. a partition value + column); codecs that set
+    ``supports_shared_plan`` stash reusable trained state there (FSST's
+    symbol table) so later chunks of the same distribution skip training."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -395,7 +401,10 @@ def encode_column(arr: pa.Array, codec_name: str) -> Encoded:
     bytes_in = plain_size(arr)
     nn = arr.drop_null() if nulls else arr
     codec = get_codec(codec_name)
-    sections, cparams = codec.encode(nn)
+    if shared is not None and getattr(codec, "supports_shared_plan", False):
+        sections, cparams = codec.encode(nn, shared=shared)
+    else:
+        sections, cparams = codec.encode(nn)
     if nulls:
         valid = np.zeros(n, dtype=np.uint8)
         validity = arr.is_valid().to_numpy(zero_copy_only=False)

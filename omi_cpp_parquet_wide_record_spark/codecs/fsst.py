@@ -398,6 +398,74 @@ def _assign_codes_from_freq(freq_full: np.ndarray,
     return table, enc_flat, enc_off, enc_w
 
 
+def _assemble(p: np.ndarray, enc_flat: np.ndarray, enc_off: np.ndarray,
+              enc_w: np.ndarray) -> np.ndarray:
+    """Single-gather output assembly for one token block: token id -> final
+    byte sequence (code, ESCAPE+literal, or demoted expansion; sentinels
+    emit zero bytes, so no strip pass). Writes are purely sequential;
+    index math stays int32 while the block fits."""
+    w = enc_w[p]
+    ends = np.cumsum(w, dtype=np.int64)
+    total = int(ends[-1]) if len(ends) else 0
+    it = np.int32 if total < 2**31 - 8 else np.int64
+    src = np.repeat((enc_off[p] - (ends - w)).astype(it), w)
+    src += np.arange(total, dtype=it)
+    return enc_flat[src]
+
+
+def _replay_blocks(corpus: np.ndarray, starts: np.ndarray,
+                   start_pos: np.ndarray, n_rows: int, prog,
+                   lut16: np.ndarray | None, enc_flat: np.ndarray,
+                   enc_off: np.ndarray, enc_w: np.ndarray,
+                   block_bytes: int) -> np.ndarray:
+    """Replay a trained merge program + code assignment over the corpus in
+    ~1 MB blocks (round-0 -> remaining rounds -> assembly per block, all
+    while the cache-sized token stream is resident). Block boundaries are
+    the first row start at/after each multiple of block_bytes (vectorized
+    searchsorted, no per-row loop)."""
+    row_ends = starts[1:]
+    marks = np.arange(block_bytes, int(row_ends[-1]),
+                      block_bytes, dtype=np.int64)
+    cuts = np.unique(np.concatenate(
+        ([0], np.searchsorted(row_ends, marks, side="left") + 1,
+         [n_rows])))
+    cuts = cuts[cuts <= n_rows]
+    lut = np.full(_NKEYS, -1, dtype=np.int16)
+    rest = prog[1:] if lut16 is not None else prog
+    outs = []
+    for a, b in zip(cuts[:-1].tolist(), cuts[1:].tolist()):
+        lo, hi = int(starts[a]), int(starts[b])
+        if hi <= lo:
+            continue
+        bpos = start_pos[np.searchsorted(start_pos, lo):
+                         np.searchsorted(start_pos, hi)] - lo
+        tb = (_round0_raw(corpus[lo:hi], bpos, lut16)
+              if lut16 is not None
+              else _with_sentinels(corpus[lo:hi], bpos))
+        outs.append(_assemble(_apply_program(tb, rest, lut),
+                              enc_flat, enc_off, enc_w))
+    if not outs:   # defensive: cuts always yield >=1 block
+        outs = [_assemble(_with_sentinels(corpus, start_pos),
+                          enc_flat, enc_off, enc_w)]
+    return outs[0] if len(outs) == 1 else np.concatenate(outs)
+
+
+def _make_plan(prog, table: list[bytes], enc_flat: np.ndarray,
+               enc_off: np.ndarray, enc_w: np.ndarray, out_bytes: int,
+               in_bytes: int, lut16: np.ndarray | None = None) -> dict:
+    """Bundle everything replay needs (merge program, round-0 LUT, code
+    assignment, serialized table) plus the training compression ratio the
+    drift guard compares against."""
+    if lut16 is None:
+        lut16 = _round0_lut16(prog)
+    return {"prog": prog, "lut16": lut16, "table": table,
+            "tab_lens": np.array([len(s) for s in table],
+                                 dtype=np.uint8).tobytes(),
+            "tab_flat": b"".join(table),
+            "enc_flat": enc_flat, "enc_off": enc_off, "enc_w": enc_w,
+            "exp": out_bytes / max(1, in_bytes)}
+
+
 class FsstCodec(Codec):
     name = "fsst"
 
@@ -405,12 +473,24 @@ class FsstCodec(Codec):
     # unchanged (2.57 text / 2.31 html) while costing ~2x encode time —
     # the table caps at 255 codes and the late rounds only churn marginal
     # symbols (r3 sweep; r2 ran rounds=6)
+    supports_shared_plan = True
+
     def __init__(self, rounds: int = 4, per_round: int = 64, min_count: int = 8):
         self.rounds = rounds
         self.per_round = per_round
         self.min_count = min_count
 
-    def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
+    def encode(self, arr: pa.Array, shared: dict | None = None
+               ) -> tuple[list[bytes], dict]:
+        """``shared`` (optional, mutable) carries a trained plan across
+        chunks of one distribution (same partition value / column): the
+        symbol table, merge program, and code assignment are trained once
+        and replayed on subsequent chunks — training is ~30% of encode
+        time, so salt buckets of one language stop re-paying it. A drift
+        guard retrains when a replayed chunk compresses >30% worse than
+        the plan's training ratio, bounding the same-distribution
+        assumption. Decode is unaffected: every chunk still carries its
+        own (now shared) table in its payload."""
         lengths, corpus_mv = bytes_block(arr)
         lens_payload, lens_params = pack_uints(lengths)
         corpus = np.frombuffer(corpus_mv, dtype=np.uint8)
@@ -425,20 +505,23 @@ class FsstCodec(Codec):
         TRAIN_BYTES = TRAIN_BYTES_DEFAULT
         BLOCK_BYTES = BLOCK_BYTES_DEFAULT
 
-        # single-gather output assembly for one token block: token id ->
-        # final byte sequence (code, ESCAPE+literal, or demoted expansion;
-        # sentinels emit zero bytes, so no strip pass). Writes are purely
-        # sequential; index math stays int32 while the block fits.
-        def _assemble(p, enc_flat, enc_off, enc_w):
-            w = enc_w[p]
-            ends = np.cumsum(w, dtype=np.int64)
-            total = int(ends[-1]) if len(ends) else 0
-            it = np.int32 if total < 2**31 - 8 else np.int64
-            src = np.repeat((enc_off[p] - (ends - w)).astype(it), w)
-            src += np.arange(total, dtype=it)
-            return enc_flat[src]
+        plan = shared.get("plan") if shared is not None else None
+        if plan is not None:
+            out = _replay_blocks(corpus, starts, start_pos, n_rows,
+                                 plan["prog"], plan["lut16"],
+                                 plan["enc_flat"], plan["enc_off"],
+                                 plan["enc_w"], BLOCK_BYTES)
+            if len(out) <= int(plan["exp"] * len(corpus) * 1.3) + 4096:
+                table = plan["table"]
+                tab_lens = plan["tab_lens"]
+                return [tab_lens, plan["tab_flat"], lens_payload,
+                        out.tobytes()], {"n": n_rows,
+                                         "ncodes": len(table),
+                                         "lens": lens_params}
+            # drift: this chunk's bytes no longer match the trained
+            # distribution — retrain below and replace the shared plan
 
-        if len(corpus) <= BLOCK_BYTES:
+        if len(corpus) <= BLOCK_BYTES and shared is None:
             min_count = max(self.min_count, len(corpus) >> 15)
             t, pairs, _prog = _train_and_tokenize(
                 _with_sentinels(corpus, start_pos), self.rounds,
@@ -446,6 +529,25 @@ class FsstCodec(Codec):
             table, enc_flat, enc_off, enc_w = _assign_codes_from_freq(
                 np.bincount(t, minlength=_KSPACE).astype(np.int64), pairs)
             out = _assemble(t, enc_flat, enc_off, enc_w)
+        elif len(corpus) <= BLOCK_BYTES:
+            # whole corpus is the training sample. THIS chunk's output uses
+            # the exact assignment (ids absent from the stream get no table
+            # entry — byte-identical to the shared=None path); the PLAN
+            # stashes a complete=True assignment, since replay on a later
+            # chunk can mint ids this stream never produced. The second
+            # assignment runs on the <=510-entry id space — negligible.
+            min_count = max(self.min_count, len(corpus) >> 15)
+            t, pairs, prog = _train_and_tokenize(
+                _with_sentinels(corpus, start_pos), self.rounds,
+                self.per_round, min_count)
+            freq = np.bincount(t, minlength=_KSPACE).astype(np.int64)
+            table, enc_flat, enc_off, enc_w = _assign_codes_from_freq(
+                freq, pairs)
+            out = _assemble(t, enc_flat, enc_off, enc_w)
+            ptable, pflat, poff, pw = _assign_codes_from_freq(
+                freq, pairs, complete=True)
+            shared["plan"] = _make_plan(prog, ptable, pflat, poff, pw,
+                                        len(out), len(corpus))
         else:
             # train on a strided row sample (TRAIN_BYTES), replay the merge
             # program on ~1 MB blocks — the per-round passes then run over
@@ -477,34 +579,14 @@ class FsstCodec(Codec):
             table, enc_flat, enc_off, enc_w = _assign_codes_from_freq(
                 np.bincount(st, minlength=_KSPACE).astype(np.int64),
                 pairs, complete=True)
-            # block boundaries: the first row start at/after each multiple
-            # of BLOCK_BYTES (vectorized searchsorted, no per-row loop)
-            row_ends = starts[1:]
-            marks = np.arange(BLOCK_BYTES, int(row_ends[-1]),
-                              BLOCK_BYTES, dtype=np.int64)
-            cuts = np.unique(np.concatenate(
-                ([0], np.searchsorted(row_ends, marks, side="left") + 1,
-                 [n_rows])))
-            cuts = cuts[cuts <= n_rows]
-            lut = np.full(_NKEYS, -1, dtype=np.int16)
             lut16 = _round0_lut16(prog)
-            rest = prog[1:] if lut16 is not None else prog
-            outs = []
-            for a, b in zip(cuts[:-1].tolist(), cuts[1:].tolist()):
-                lo, hi = int(starts[a]), int(starts[b])
-                if hi <= lo:
-                    continue
-                bpos = start_pos[np.searchsorted(start_pos, lo):
-                                 np.searchsorted(start_pos, hi)] - lo
-                tb = (_round0_raw(corpus[lo:hi], bpos, lut16)
-                      if lut16 is not None
-                      else _with_sentinels(corpus[lo:hi], bpos))
-                outs.append(_assemble(_apply_program(tb, rest, lut),
-                                      enc_flat, enc_off, enc_w))
-            if not outs:   # defensive: cuts always yield >=1 block
-                outs = [_assemble(_with_sentinels(corpus, start_pos),
-                                  enc_flat, enc_off, enc_w)]
-            out = outs[0] if len(outs) == 1 else np.concatenate(outs)
+            out = _replay_blocks(corpus, starts, start_pos, n_rows, prog,
+                                 lut16, enc_flat, enc_off, enc_w,
+                                 BLOCK_BYTES)
+            if shared is not None:
+                shared["plan"] = _make_plan(prog, table, enc_flat, enc_off,
+                                            enc_w, len(out), len(corpus),
+                                            lut16)
 
         tab_lens = np.array([len(s) for s in table], dtype=np.uint8)
         return [tab_lens.tobytes(), b"".join(table), lens_payload,
@@ -585,12 +667,16 @@ class Fsst2Codec(Codec):
     pass 1's stream) then pass 1."""
 
     name = "fsst2"
+    supports_shared_plan = True
 
-    def encode(self, arr: pa.Array) -> tuple[list[bytes], dict]:
+    def encode(self, arr: pa.Array, shared: dict | None = None
+               ) -> tuple[list[bytes], dict]:
         inner = FsstCodec()
-        secs1, p1 = inner.encode(arr)
+        s1 = shared.setdefault("p1", {}) if shared is not None else None
+        secs1, p1 = inner.encode(arr, shared=s1)
         stream = pa.array([secs1[3]], type=pa.large_binary())
-        secs2, p2 = inner.encode(stream)
+        s2 = shared.setdefault("p2", {}) if shared is not None else None
+        secs2, p2 = inner.encode(stream, shared=s2)
         return [secs1[0], secs1[1], secs1[2], *secs2], {**p1, "p2": p2}
 
     def decode(self, sections, params: dict) -> pa.Array:

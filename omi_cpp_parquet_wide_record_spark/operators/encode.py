@@ -275,8 +275,11 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
         forced = (overrides or {}).get(name)
         if key not in plan_cache:
             plan_cache[key] = forced or choose_codec(arr).codec
+        # cross-chunk codec state (FSST trained tables): same scope as the
+        # codec choice — chunks of one partition value share a distribution
+        shared = plan_cache.setdefault(key + ("shared",), {})
         try:
-            enc = encode_column(arr, plan_cache[key])
+            enc = encode_column(arr, plan_cache[key], shared=shared)
         except (ValueError, TypeError):
             # an auto-chosen codec can be invalidated by data outside the
             # sample (e.g. bitpack picked from a non-negative sample, then a

@@ -140,6 +140,48 @@ def test_fsst_round0_raw_bit_identical():
     assert all(a == b for a, b in zip(fast, slow))
 
 
+def test_fsst_shared_plan_reuse_and_roundtrip():
+    # a shared dict carries the trained table across chunks of one
+    # distribution: chunk 2 must replay chunk 1's plan (no retrain) and
+    # still round-trip exactly; ratio must stay within a few % of fresh
+    rng = np.random.default_rng(3)
+    words = ["lorem", "ipsum", "dolor", "<html>", "</html>", "href=\"x\""]
+    docs = ["".join(rng.choice(words, rng.integers(1, 120)))
+            for _ in range(4000)]
+    arr = pa.array(docs)
+    n = len(arr)
+    c1, c2 = arr.slice(0, n // 2), arr.slice(n // 2)
+    for codec in ("fsst", "fsst2"):
+        sh: dict = {}
+        e1 = encode_column(c1, codec, shared=sh)
+        plan = sh["plan"] if codec == "fsst" else sh["p1"]["plan"]
+        e2 = encode_column(c2, codec, shared=sh)
+        after = sh["plan"] if codec == "fsst" else sh["p1"]["plan"]
+        assert after is plan, f"{codec}: plan retrained without drift"
+        assert arrays_equal(c1, decode_column(e1.payload, e1.params))
+        assert arrays_equal(c2, decode_column(e2.payload, e2.params))
+        fresh = encode_column(c2, codec)
+        assert len(e2.payload) <= 1.05 * len(fresh.payload), \
+            (codec, len(e2.payload), len(fresh.payload))
+
+
+def test_fsst_shared_plan_drift_retrains():
+    # a chunk whose bytes no longer match the trained distribution must
+    # trigger a retrain (and the retrained plan replaces the shared one)
+    rng = np.random.default_rng(5)
+    tame = pa.array(["abcabcabc" * rng.integers(2, 40)
+                     for _ in range(2000)])
+    wild = pa.array(["".join(chr(33 + int(x))
+                             for x in rng.integers(0, 90, 300))
+                     for _ in range(1500)])
+    sh: dict = {}
+    encode_column(tame, "fsst", shared=sh)
+    plan = sh["plan"]
+    e = encode_column(wild, "fsst", shared=sh)
+    assert sh["plan"] is not plan, "drifted chunk did not retrain"
+    assert arrays_equal(wild, decode_column(e.payload, e.params))
+
+
 # ---------------------------------------------------------------- lists
 
 def test_list_roundtrips():
