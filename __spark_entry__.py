@@ -396,6 +396,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 * F.lit(1048576.0)).cast("long"), zero)
                 ), zero).alias("esum_fp"))
     q["codec_for_roundtrip"] = _for_list_roundtrip
+    # ALP (decimal floats, r5): TPC-H money/rate doubles scale to exact
+    # 10^e digits; decode is bit-identical so raw doubles compare safely.
+    # (ALP-RD, the high-entropy sibling, is exercised as the flattened-
+    # float child stream inside codec_for_roundtrip's list codec.)
+    q["codec_alp_roundtrip"] = lambda s, d: _roundtrip(
+        s, d, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+        {"l_quantity": "alp", "l_extendedprice": "alp",
+         "l_discount": "alp", "l_tax": "alp"}, "alp")
 
     # ---------------- reference operators O2-O14 over the driver tables
     def _pruned_scan(s, d):
@@ -848,6 +858,9 @@ def oracle_sql() -> dict[str, str]:
         "coalesce(list_sum(list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))), 0) "
         "AS esum_fp FROM embeddings")
+    sql["codec_alp_roundtrip"] = (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
+        "l_discount, l_tax FROM lineitem")
 
     # evolved store: rows encoded before n_chars existed read back NULL
     # (Iceberg add-column null-fill); the commit boundary is count/2

@@ -10,7 +10,7 @@ and honest — no model of codec behavior can drift from the codecs themselves.
 Candidate sets by logical type:
 
 - integer-like (ints, bool, timestamp, date): dict, rle, bitpack*, for, delta, plain
-- float: dict, rle, plain
+- float: dict, rle, alp, alprd, plain
 - bytes-like (string/binary): dict, rle, fsst, plain
 
 (*bitpack only when the sample is non-negative.)
@@ -61,7 +61,10 @@ def candidates_for(arr: pa.Array) -> list[str]:
                 cands.insert(2, "bitpack")
         return cands
     if pa.types.is_floating(t):
-        return ["dict", "rle", "plain"]
+        # alp fires on decimal-valued floats (prices/scores: big win),
+        # alprd on high-entropy reals (embeddings: left-bits dictionary);
+        # both raise fast on data outside their regime
+        return ["dict", "rle", "alp", "alprd", "plain"]
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         # composite: lengths + flattened values each re-enter the
         # selector inside the codec, so one candidate suffices here

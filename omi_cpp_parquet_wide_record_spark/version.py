@@ -59,7 +59,7 @@ def engine_fingerprint() -> str:
         # loaders instead (zipimporter implements get_source)
         import importlib.util
         pkg = __name__.rsplit(".", 1)[0]
-        mods = ["codecs", "codecs.base", "codecs.dictionary",
+        mods = ["codecs", "codecs.alp", "codecs.base", "codecs.dictionary",
                 "codecs.fsst", "codecs.intcodecs", "codecs.listarr",
                 "codecs.plain", "selector", "operators.encode",
                 "operators.decode", "plans.snapshot", "schema"]

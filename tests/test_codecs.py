@@ -325,3 +325,67 @@ def test_struct_field_name_validation():
     ok = pa.array([{"a.b c-d": 1}],
                   type=pa.struct([("a.b c-d", pa.int64())]))
     roundtrip(ok, "struct")
+
+
+# ---------------------------------------------------------------- ALP floats
+
+def test_alp_roundtrip_decimal_with_exceptions():
+    """Decimal-valued doubles FOR-pack; specials ride as bit-exact
+    positioned exceptions (codecs/alp.py)."""
+    vals = [round(x * 0.01, 2) for x in range(-300, 300)]
+    vals[7] = float("nan")
+    vals[100] = float("inf")
+    vals[200] = -0.0
+    vals[250] = 2.5e300             # no finite 10^e digit fits -> exception
+    arr = pa.array(vals + [None, None], type=pa.float64())
+    e = encode_column(arr, "alp")
+    assert e.params["nexc"] >= 3     # nan, inf, 2.5e300 at least
+    assert len(e.payload) < e.bytes_in / 2
+    assert arrays_equal(decode_column(e.payload, e.params), arr)
+
+
+def test_alp_rejects_high_entropy():
+    rng = np.random.default_rng(7)
+    arr = pa.array(rng.standard_normal(2000), type=pa.float64())
+    with pytest.raises(ValueError):
+        encode_column(arr, "alp")
+
+
+def test_alprd_roundtrip_reals():
+    """Unit-range reals share exponent/high-mantissa bits: the left-part
+    dictionary beats PLAIN while staying bit-exact (incl -0.0, nan)."""
+    rng = np.random.default_rng(11)
+    v = (rng.random(4000) * 0.5 - 0.25).astype(np.float32)
+    v[5] = np.float32("nan")
+    v[6] = np.float32(-0.0)
+    arr = pa.array(v, type=pa.float32())
+    e = encode_column(arr, "alprd")
+    assert len(e.payload) < e.bytes_in
+    assert arrays_equal(decode_column(e.payload, e.params), arr)
+
+
+def test_alp_selector_picks_by_regime():
+    from omi_cpp_parquet_wide_record_spark.selector import choose_codec
+    decimals = pa.array([round(i * 0.25, 2) for i in range(5000)],
+                        type=pa.float64())
+    assert choose_codec(decimals).codec in ("alp", "delta", "dict")
+    rng = np.random.default_rng(3)
+    reals = pa.array((rng.random(5000) - 0.5).astype(np.float32),
+                     type=pa.float32())
+    assert choose_codec(reals).codec == "alprd"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+    st.integers(-10**6, 10**6).map(lambda i: i / 100.0)), max_size=300))
+@pytest.mark.parametrize("codec", ["alp", "alprd"])
+def test_prop_alp_floats(codec, xs):
+    """If the regime gate accepts the data, the round trip is bit-exact."""
+    arr = pa.array(xs, type=pa.float64())
+    try:
+        e = encode_column(arr, codec)
+    except ValueError:
+        return
+    assert arrays_equal(decode_column(e.payload, e.params), arr)
