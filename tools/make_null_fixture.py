@@ -11,6 +11,11 @@ local gate reproduces (and keeps reproducing) that divergence class:
   all-NULL-element list, NULL label
 - documents:  NULL text, empty text, NULL lang/source/n_chars
 - events:     NULL value, NULL props, NULL event_type, NULL user_id
+- lineitem:   NULLs in every ALP-coded decimal column (quantity /
+  extendedprice / discount / tax), singly and all-at-once, plus a NULL
+  group key (l_returnflag) and a NULL l_shipdate — the forced-alp
+  roundtrip (`codec_alp_roundtrip`) and the TPC-H aggregates must agree
+  with the oracle when the driver's generated lineitem carries nulls
 
 ids continue past the existing max so dense-id assumptions stay intact;
 `ts` stays non-null mid-range (watermark/windowing paths require it in
@@ -101,9 +106,31 @@ def _events_extra(t: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=t.schema)
 
 
+def _lineitem_extra(t: pa.Table) -> pa.Table:
+    okmax = max(t["l_orderkey"].to_pylist())
+    dates = sorted(x for x in t["l_shipdate"].to_pylist() if x is not None)
+    mid = dates[len(dates) // 2]
+    base = {"l_orderkey": okmax + 1, "l_partkey": 1, "l_suppkey": 1,
+            "l_quantity": 10.0, "l_extendedprice": 1234.56,
+            "l_discount": 0.05, "l_tax": 0.04, "l_returnflag": "N",
+            "l_linestatus": "O", "l_shipdate": mid}
+    rows = []
+    # one row per singly-nulled ALP column, then all four at once
+    for i, col in enumerate(["l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax"]):
+        rows.append({**base, "l_linenumber": i + 1, col: None})
+    rows.append({**base, "l_linenumber": 5, "l_quantity": None,
+                 "l_extendedprice": None, "l_discount": None, "l_tax": None})
+    # NULL group key and NULL filter column (range predicates must agree)
+    rows.append({**base, "l_linenumber": 6, "l_returnflag": None})
+    rows.append({**base, "l_linenumber": 7, "l_shipdate": None})
+    return pa.Table.from_pylist(rows, schema=t.schema)
+
+
 EXTRAS = {"embeddings": _embeddings_extra,
           "documents": _documents_extra,
-          "events": _events_extra}
+          "events": _events_extra,
+          "lineitem": _lineitem_extra}
 
 # low-id cells nulled in place so id-filtered query paths see nulls too:
 # vec_id 7 hits the ann query side (vec_id < 10), 150 the bounded
