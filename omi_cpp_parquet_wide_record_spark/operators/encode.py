@@ -462,6 +462,7 @@ def encode_dataframe(
     colocate: str = "shuffle",
     manifest: str = "sharded",
     sort_by: list[str] | None = None,
+    upsert_key: str | None = None,
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
 
@@ -503,11 +504,31 @@ def encode_dataframe(
       point/range reads to ~one chunk per pid instead of all of them,
       and DELTA/FOR/RLE see sorted runs (better ratios on keys). The
       encode task's stable pid grouping preserves the order into chunks.
+    upsert_key: MERGE-style replace-by-key (Iceberg upsert). The batch's
+      distinct key values are committed as an equality-delete file IN THE
+      SAME snapshot as the appended data: the delete is sequence-scoped
+      at this commit, so it hides only PRIOR rows with those keys — one
+      atomic pointer flip, no deleted-but-not-replaced state ever visible,
+      and a crash before the commit leaves the store untouched (orphan
+      chunks only, GC-able). Costs one extra column-pruned pass over
+      ``df`` to collect the distinct keys (driver-held, like every delete
+      file — right for CDC-size batches; rewrite the corpus via
+      compaction instead of upserting all of it). Requires
+      ``resume=False``: the pid-level resume filter would silently skip
+      batch rows landing in already-committed pids.
     """
     t0 = time.time()
     spark = df.sparkSession
     run_id = run_id or uuid.uuid4().hex
     store = ChunkStore(out_dir).create()
+    if upsert_key is not None:
+        if resume:
+            raise ValueError(
+                "upsert_key requires resume=False: the pid-level resume "
+                "filter would skip batch rows in already-committed pids")
+        if upsert_key not in df.columns:
+            raise ValueError(f"upsert_key {upsert_key!r} is not a column "
+                             f"of the batch ({df.columns})")
     if num_pids is None:
         num_pids = max(spark.sparkContext.defaultParallelism * 8, 8)
 
@@ -542,6 +563,14 @@ def encode_dataframe(
     if sort_by:
         work = work.sortWithinPartitions(PID_COL, *sort_by)
 
+    # upsert: collect the batch's distinct keys (column-pruned extra pass)
+    # for the same-snapshot equality delete; an empty store needs none —
+    # there is no prior data to hide, the upsert degenerates to an insert
+    upsert_delete = None
+    if upsert_key is not None and store.current_snapshot() is not None:
+        upsert_delete = (df.select(upsert_key).distinct().toArrow()
+                         .rename_columns([upsert_key]), upsert_key)
+
     import pyarrow.compute as pc
     if manifest == "sharded":
         task = _encode_task_factory(store.chunks_dir, run_id, chunk_rows,
@@ -554,7 +583,7 @@ def encode_dataframe(
         shard_files = sorted(set(summaries.column("shard_file").to_pylist()))
         new_pids = set(summaries.column("pid").to_pylist())
         snap = store.commit(shard_files, _spark_to_arrow_schema(df), run_id,
-                            new_pids=new_pids)
+                            new_pids=new_pids, add_delete=upsert_delete)
         bi = pc.sum(summaries.column("bytes_in")).as_py() or 0
         bo = pc.sum(summaries.column("bytes_out")).as_py() or 0
         rows = pc.sum(summaries.column("rows")).as_py() or 0

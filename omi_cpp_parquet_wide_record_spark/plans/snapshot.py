@@ -186,7 +186,8 @@ class ChunkStore:
     def commit(self, manifest: pa.Table | list[str], schema: pa.Schema,
                run_id: str, stats: dict | None = None,
                replace: bool = False,
-               new_pids: set[int] | None = None) -> dict:
+               new_pids: set[int] | None = None,
+               add_delete: tuple[pa.Table, str] | None = None) -> dict:
         """Append a manifest and flip the snapshot pointer atomically.
 
         ``manifest`` is either a driver-held Arrow table (written here as
@@ -201,6 +202,14 @@ class ChunkStore:
         ``replace=True`` is the Iceberg REPLACE commit: the new snapshot
         references only this manifest (prior data, deletes, and pids drop
         out of the live view but stay readable via time travel until GC).
+
+        ``add_delete=(keys, key_col)`` commits an equality-delete file IN
+        THE SAME snapshot as the appended manifest (the MERGE/upsert
+        shape): the delete is sequence-scoped at this commit's n, so it
+        anti-joins only data from manifests committed BEFORE it — the
+        rows appended here are exempt. One atomic pointer flip gives
+        replace-by-key semantics with no intermediate deleted-but-not-
+        replaced state ever visible to readers.
         """
         import base64
         self.create()
@@ -220,6 +229,13 @@ class ChunkStore:
         keep_parent = parent is not None and not replace
         committed = (set(parent["committed_pids"]) if keep_parent
                      else set()) | new_pids
+        delete_files = self.delete_files(parent) if keep_parent else []
+        if add_delete is not None:
+            keys, key_col = add_delete
+            dname = f"delete-{n:05d}-{uuid.uuid4().hex[:8]}.parquet"
+            pq.write_table(keys, os.path.join(self.deletes_dir, dname))
+            delete_files = delete_files + [
+                {"file": dname, "key": key_col, "n": n}]
         snap = {
             "n": n,
             "snapshot_id": uuid.uuid4().hex,
@@ -237,7 +253,7 @@ class ChunkStore:
                 **{m: n for m in mnames},
             },
             "committed_pids": sorted(committed),
-            "delete_files": self.delete_files(parent) if keep_parent else [],
+            "delete_files": delete_files,
             "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),
             "stats": stats or {},
             # content hash of the encode/decode code that wrote this

@@ -1375,3 +1375,87 @@ def test_delete_scoping_reads_each_manifest_once(spark, tmp_path,
     assert calls["n"] == n_manifests, (calls["n"], n_manifests)
     # rows 10-19 deleted from commit 0, 10-14 re-inserted after -> 395
     assert got == 395, got
+
+
+def test_upsert_single_commit_merge(spark, tmp_path):
+    """``upsert_key`` is a single-commit MERGE: the batch's keys are
+    committed as an equality delete IN THE SAME snapshot as the appended
+    data (sequence-scoped at that commit, so the new rows are exempt).
+    Exactly one snapshot is added; time travel to the parent still sees
+    the old rows; no intermediate deleted-but-not-replaced state exists."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    import pytest
+
+    out = str(tmp_path / "store")
+    encode_dataframe(spark.range(0, 100).select(
+        F.col("id"), F.concat(F.lit("old"), F.col("id")).alias("s")), out,
+        salt_key="id", num_pids=2)
+    store = ChunkStore(out)
+    n0 = store.current_snapshot()["n"]
+
+    # upsert: replace ids 50..59, insert ids 100..104 — one commit
+    batch = spark.range(50, 60).union(spark.range(100, 105)).select(
+        F.col("id"), F.concat(F.lit("new"), F.col("id")).alias("s"))
+    encode_dataframe(batch, out, salt_key="id", num_pids=2,
+                     resume=False, upsert_key="id")
+    snap = store.current_snapshot()
+    assert snap["n"] == n0 + 1          # exactly one snapshot added
+    assert len(snap["delete_files"]) == 1
+
+    got = decode_store(spark, out)
+    assert got.count() == 105
+    replaced = {r.s for r in got.filter(
+        (F.col("id") >= 50) & (F.col("id") < 60)).collect()}
+    assert replaced == {f"new{i}" for i in range(50, 60)}
+    kept = {r.s for r in got.filter(F.col("id") < 3).collect()}
+    assert kept == {"old0", "old1", "old2"}
+    # projection that excludes the key still applies the upsert delete
+    assert decode_store(spark, out, columns=["s"]).count() == 105
+
+    # time travel to the parent snapshot: pre-upsert world intact
+    old = decode_store(spark, out, snapshot=n0)
+    assert old.count() == 100
+    assert {r.s for r in old.filter(F.col("id") == 55).collect()} == {"old55"}
+
+    # upsert into an EMPTY store degenerates to an insert (no delete file)
+    out2 = str(tmp_path / "store2")
+    encode_dataframe(spark.range(0, 10).select(
+        F.col("id"), F.col("id").cast("string").alias("s")), out2,
+        salt_key="id", num_pids=2, resume=False, upsert_key="id")
+    snap2 = ChunkStore(out2).current_snapshot()
+    assert snap2["delete_files"] == []
+    assert decode_store(spark, out2).count() == 10
+
+    # guard rails: resume=True and unknown key column are rejected
+    with pytest.raises(ValueError, match="resume"):
+        encode_dataframe(batch, out, upsert_key="id")
+    with pytest.raises(ValueError, match="not a column"):
+        encode_dataframe(batch, out, resume=False, upsert_key="nope")
+
+
+def test_upsert_idempotent_reapply(spark, tmp_path):
+    """Re-upserting the same batch is idempotent in the visible view: the
+    second upsert's delete hides the first upsert's rows, count unchanged."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(spark.range(0, 50).select(
+        F.col("id"), F.lit("base").alias("s")), out,
+        salt_key="id", num_pids=2)
+    batch = spark.range(10, 20).select(
+        F.col("id"), F.lit("v2").alias("s"))
+    encode_dataframe(batch, out, salt_key="id", num_pids=2,
+                     resume=False, upsert_key="id")
+    encode_dataframe(batch, out, salt_key="id", num_pids=2,
+                     resume=False, upsert_key="id")
+    got = decode_store(spark, out)
+    assert got.count() == 50
+    assert got.filter(F.col("s") == "v2").count() == 10
