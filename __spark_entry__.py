@@ -407,6 +407,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"l_quantity": "alp", "l_extendedprice": "alp",
          "l_discount": "alp", "l_tax": "alp"}, "alp")
 
+    def _upsert_merge(s, d):
+        """O11/O13 + single-commit MERGE (r5 upsert): commit 0 writes all
+        of documents, commit 1 upserts every doc_id % 5 == 0 row with
+        rewritten lang/n_chars. The upsert's equality delete lands in the
+        SAME snapshot as its data (sequence-scoped), so the live read must
+        show exactly one row per key — the batch version for replaced
+        keys, the original elsewhere. The oracle recomputes that MERGE
+        view relationally (anti-join + union) from the raw table."""
+        import pyarrow.parquet as _pq
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            decode_store,
+        )
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            encode_dataframe,
+        )
+        _tune(s)
+        n_src = _pq.ParquetFile(
+            os.path.join(d, "documents.parquet")).metadata.num_rows
+        batch_n = (n_src + 4) // 5        # doc_id is dense 0..n_src-1
+        out = _store_path(d, "documents", ["upsert"], {}, "merge")
+        if not _store_valid(out, n_src + batch_n, n_snapshots=2):
+            shutil.rmtree(out, ignore_errors=True)
+            docs = _read(s, d, "documents").select("doc_id", "lang",
+                                                   "n_chars")
+            encode_dataframe(docs, out, salt_key="doc_id", num_pids=8)
+            batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+                "doc_id", F.upper("lang").alias("lang"),
+                (F.col("n_chars") + 100000).alias("n_chars"))
+            encode_dataframe(batch, out, salt_key="doc_id", num_pids=8,
+                             resume=False, upsert_key="doc_id")
+        return decode_store(s, out)
+    q["o11_upsert_merge"] = _upsert_merge
+
     # ---------------- reference operators O2-O14 over the driver tables
     def _pruned_scan(s, d):
         """O13 with real I/O pruning AND cross-snapshot schema evolution:
@@ -861,6 +894,15 @@ def oracle_sql() -> dict[str, str]:
     sql["codec_alp_roundtrip"] = (
         "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, "
         "l_discount, l_tax FROM lineitem")
+
+    # single-commit MERGE view: the upsert replaced every doc_id%5==0 row
+    # (upper lang, n_chars+100000) and kept the rest — the relational
+    # restatement of "batch's delete hides prior rows with its keys"
+    sql["o11_upsert_merge"] = (
+        "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 5 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id, upper(lang) AS lang, n_chars + 100000 AS n_chars "
+        "FROM documents WHERE doc_id % 5 = 0")
 
     # evolved store: rows encoded before n_chars existed read back NULL
     # (Iceberg add-column null-fill); the commit boundary is count/2
