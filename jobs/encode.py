@@ -5,7 +5,7 @@ argv in, write, optional read-back verify; ref NQ:3826-3849).
     spark-submit --py-files dist/owr_spark.zip jobs/encode.py \
         --input /path/pages.parquet --output /path/store \
         --partition-by lang --salt-key url [--num-pids 256] [--salt 16] \
-        [--verify-key url] [--no-resume] [--synthetic-rows N]
+        [--verify-key url] [--no-resume] [--upsert-key url] [--synthetic-rows N]
 
 With --synthetic-rows the input is the deterministic web corpus instead of
 a parquet path (no external data needed anywhere).
@@ -40,6 +40,10 @@ def main() -> int:
                     help="write sort order: task-local sort on these "
                          "columns before chunking (tight zone maps)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--upsert-key", default=None,
+                    help="MERGE-style replace-by-key: commit the batch's "
+                         "keys as a same-snapshot equality delete "
+                         "(implies --no-resume)")
     ap.add_argument("--verify-key", default=None,
                     help="decode + bit-identity verify on this key column")
     ap.add_argument("--cores", type=int, default=None)
@@ -64,8 +68,10 @@ def main() -> int:
     res = encode_dataframe(
         df, args.output, partition_by=args.partition_by,
         salt_key=args.salt_key, num_pids=args.num_pids, salt=args.salt,
-        chunk_rows=args.chunk_rows, resume=not args.no_resume,
-        colocate=args.colocate, sort_by=args.sort_by)
+        chunk_rows=args.chunk_rows,
+        resume=(not args.no_resume) and args.upsert_key is None,
+        colocate=args.colocate, sort_by=args.sort_by,
+        upsert_key=args.upsert_key)
     report = {
         "rows": res.rows, "bytes_in": res.bytes_in,
         "bytes_out": res.bytes_out, "ratio": round(res.ratio, 3),
