@@ -440,6 +440,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_store(s, out)
     q["o11_upsert_merge"] = _upsert_merge
 
+    def _zorder_scan(s, d):
+        """O11/O13 + multi-column layout (r5 zorder): the store is written
+        with the Morton interleave of (doc_id, n_chars), so zone maps
+        prune chunk files for a conjunctive filter touching BOTH columns
+        (a lexicographic sort could only serve one). Results are layout-
+        independent — the oracle is the plain relational filter."""
+        import pyarrow.parquet as _pq
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            decode_store,
+        )
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            encode_dataframe,
+        )
+        _tune(s)
+        n_src = _pq.ParquetFile(
+            os.path.join(d, "documents.parquet")).metadata.num_rows
+        out = _store_path(d, "documents", ["zorder"], {}, "z1")
+        if not _store_valid(out, n_src):
+            shutil.rmtree(out, ignore_errors=True)
+            docs = _read(s, d, "documents").select("doc_id", "lang",
+                                                   "n_chars")
+            encode_dataframe(docs, out, salt_key="doc_id", num_pids=4,
+                             chunk_rows=64, zorder_by=["doc_id", "n_chars"])
+        return decode_store(s, out, filters=[("doc_id", "<", 300),
+                                             ("n_chars", "<", 300)])
+    q["zorder_pruned_scan"] = _zorder_scan
+
     # ---------------- reference operators O2-O14 over the driver tables
     def _pruned_scan(s, d):
         """O13 with real I/O pruning AND cross-snapshot schema evolution:
@@ -903,6 +930,11 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT doc_id, upper(lang) AS lang, n_chars + 100000 AS n_chars "
         "FROM documents WHERE doc_id % 5 = 0")
+
+    # layout-independent view of the z-ordered store: a plain filter
+    sql["zorder_pruned_scan"] = (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id < 300 AND n_chars < 300")
 
     # evolved store: rows encoded before n_chars existed read back NULL
     # (Iceberg add-column null-fill); the commit boundary is count/2

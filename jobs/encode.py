@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--sort-by", nargs="*", default=None,
                     help="write sort order: task-local sort on these "
                          "columns before chunking (tight zone maps)")
+    ap.add_argument("--zorder-by", nargs="*", default=None,
+                    help="multi-column Morton write layout: zone maps "
+                         "prune on ANY of these 2-4 columns")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--upsert-key", default=None,
                     help="MERGE-style replace-by-key: commit the batch's "
@@ -71,7 +74,7 @@ def main() -> int:
         chunk_rows=args.chunk_rows,
         resume=(not args.no_resume) and args.upsert_key is None,
         colocate=args.colocate, sort_by=args.sort_by,
-        upsert_key=args.upsert_key)
+        zorder_by=args.zorder_by, upsert_key=args.upsert_key)
     report = {
         "rows": res.rows, "bytes_in": res.bytes_in,
         "bytes_out": res.bytes_out, "ratio": round(res.ratio, 3),

@@ -39,6 +39,9 @@ def main() -> int:
     c.add_argument("--salt-key", default=None)
     c.add_argument("--sort-by", nargs="*", default=None,
                    help="rewrite with a write sort order (tight zone maps)")
+    c.add_argument("--zorder-by", nargs="*", default=None,
+                   help="rewrite with the Morton multi-column layout "
+                        "(OPTIMIZE ZORDER BY)")
     args = ap.parse_args()
 
     from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
@@ -93,7 +96,8 @@ def main() -> int:
         )
         print(json.dumps(compact_store(spark, args.store, args.output,
                                        salt_key=args.salt_key,
-                                       sort_by=args.sort_by)))
+                                       sort_by=args.sort_by,
+                                       zorder_by=args.zorder_by)))
         return 0
     return 1
 

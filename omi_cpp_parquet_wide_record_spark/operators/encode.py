@@ -462,6 +462,8 @@ def encode_dataframe(
     colocate: str = "shuffle",
     manifest: str = "sharded",
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_stats_sample: float | None = None,
     upsert_key: str | None = None,
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
@@ -504,6 +506,15 @@ def encode_dataframe(
       point/range reads to ~one chunk per pid instead of all of them,
       and DELTA/FOR/RLE see sorted runs (better ratios on keys). The
       encode task's stable pid grouping preserves the order into chunks.
+    zorder_by: multi-column write layout (OPTIMIZE ZORDER BY). Like
+      sort_by but the task-local sort key is the Morton interleave of
+      2-4 columns' normalized ordinals (operators/zorder.py), so zone
+      maps prune on ANY of the named columns instead of only the first
+      of a lexicographic order. Costs one column-pruned min/max
+      aggregate over the input for the normalization range
+      (``zorder_stats_sample`` estimates it from a fraction at corpus
+      scale — layout-only statistics, values are clamped). Mutually
+      exclusive with sort_by.
     upsert_key: MERGE-style replace-by-key (Iceberg upsert). The batch's
       distinct key values are committed as an equality-delete file IN THE
       SAME snapshot as the appended data: the delete is sequence-scoped
@@ -573,7 +584,16 @@ def encode_dataframe(
     elif colocate != "local":
         raise ValueError(f"colocate must be 'shuffle' or 'local': {colocate}")
 
-    if sort_by:
+    if zorder_by:
+        if sort_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
+        from omi_cpp_parquet_wide_record_spark.operators.zorder import (
+            ZKEY_COL, zorder_key,
+        )
+        zkey = zorder_key(df, zorder_by, zorder_stats_sample)
+        work = (work.withColumn(ZKEY_COL, zkey)
+                .sortWithinPartitions(PID_COL, ZKEY_COL).drop(ZKEY_COL))
+    elif sort_by:
         work = work.sortWithinPartitions(PID_COL, *sort_by)
 
     # upsert: collect the batch's distinct keys (column-pruned extra pass)

@@ -40,6 +40,7 @@ def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
                   salt_key: str | None = None,
                   num_pids: int | None = None,
                   sort_by: list[str] | None = None,
+                  zorder_by: list[str] | None = None,
                   chunk_rows: int = 65536) -> dict:
     """Materialize deletes and rewrite the table into right-sized chunks
     (Iceberg's rewrite_data_files): decode the live snapshot (deletes
@@ -49,7 +50,10 @@ def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
     ``sort_by`` rewrites with a write sort order (Iceberg's sort-strategy
     rewrite): an existing store — e.g. one written by streaming commits
     in arrival order — adopts tight per-chunk zone maps on the given
-    columns during the compaction it was already paying for."""
+    columns during the compaction it was already paying for;
+    ``zorder_by`` does the same with the Morton multi-column layout
+    (Delta/Iceberg OPTIMIZE ZORDER BY) so zone maps prune on any of the
+    named columns."""
     from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
     from omi_cpp_parquet_wide_record_spark.operators.encode import (
         encode_dataframe,
@@ -64,6 +68,7 @@ def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
     live = decode_store(spark, store_dir)
     res = encode_dataframe(live, out_dir, salt_key=salt_key,
                            num_pids=num_pids, resume=False,
-                           sort_by=sort_by, chunk_rows=chunk_rows)
+                           sort_by=sort_by, zorder_by=zorder_by,
+                           chunk_rows=chunk_rows)
     return {"rows": res.rows, "bytes_out": res.bytes_out,
             "chunks": ChunkStore(out_dir).metrics()["chunks"]}

@@ -1,0 +1,105 @@
+"""Z-order (Morton) write layout: multi-column data skipping.
+
+A single-column write sort order makes that column's zone maps tight but
+leaves every other column's bounds as wide as the pid's whole value range
+— a filter on the second query column then prunes nothing. Interleaving
+the bits of k normalized column ordinals into one sort key gives every
+participating column *partially* tight bounds per chunk: a chunk covering
+a contiguous z-range spans at most ~2^(16 - b/k) of each column's
+normalized domain after b leading z-bits, so zone maps prune on ANY of
+the z-columns, not just the first (the Delta/Iceberg OPTIMIZE ZORDER BY
+layout story, built here from plain Catalyst expressions — no UDF, no
+extra shuffle; the sort stays task-local like ``sort_by``).
+
+Each column is mapped to an orderable non-negative long ("ordinal"),
+min/max-normalized into 16 bits via one column-pruned aggregate over the
+input, and bit-interleaved with stride k. NULL ordinals sort as 0 (the
+column's minimum), matching NULLS FIRST. The normalization statistics
+affect only LAYOUT quality — clamping keeps any out-of-range value legal
+— so callers at corpus scale may pass ``stats_sample`` to estimate the
+min/max from a fraction of the input instead of a full pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ZKEY_COL = "__owr_zkey"
+_BITS = 16
+_MAXQ = (1 << _BITS) - 1
+
+
+def _ordinal(df: DataFrame, name: str) -> Column:
+    """An orderable non-negative long/double expression for the column.
+
+    Strings order by their first 7 UTF-8 bytes (big-endian, space-padded
+    by zero-extension): 7 bytes stay under 2^56 so the long never goes
+    negative. Binary columns likewise. Timestamps/dates become epoch
+    micros/days; numerics pass through as doubles.
+    """
+    dt = df.schema[name].dataType
+    col = F.col(name)
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        # hex() of the first 7 bytes -> base-16 string -> long. conv()
+        # returns NULL for empty input; coalesce to 0 (sorts first).
+        raw = F.substring(col.cast("binary"), 1, 7)
+        return F.coalesce(F.conv(F.hex(raw), 16, 10).cast("long"),
+                          F.lit(0).cast("long"))
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dt, T.DateType):
+        return F.datediff(col, F.lit("1970-01-01"))
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType,
+                       T.BooleanType)):
+        return col.cast("double")
+    raise ValueError(f"zorder_by does not support column {name!r} of type "
+                     f"{dt.simpleString()}")
+
+
+def _quantize(ordinal: Column, lo: float, hi: float) -> Column:
+    """Min/max-normalize an ordinal into [0, 2^16): floor((x-lo)*scale),
+    clamped (stats may be sampled / stale), NULL -> 0."""
+    if hi <= lo:
+        return F.lit(0).cast("long")
+    scale = float(_MAXQ) / (float(hi) - float(lo))
+    q = F.floor((ordinal.cast("double") - float(lo)) * F.lit(scale))
+    q = F.least(F.greatest(q, F.lit(0)), F.lit(_MAXQ))
+    return F.coalesce(q.cast("long"), F.lit(0).cast("long"))
+
+
+def _interleave(quantized: list[Column]) -> Column:
+    """Bit-interleave k 16-bit values into one long: bit b of column i
+    lands at position b*k + i. Pure shift/mask expression tree (~16*k
+    codegen'd ops), no UDF."""
+    k = len(quantized)
+    out = F.lit(0).cast("long")
+    for i, q in enumerate(quantized):
+        for b in range(_BITS):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                            b * k + i))
+    return out
+
+
+def zorder_key(df: DataFrame, cols: list[str],
+               stats_sample: float | None = None) -> Column:
+    """The Morton sort-key expression for ``cols`` over ``df``.
+
+    Runs ONE column-pruned min/max aggregate over ``df`` (or a
+    ``stats_sample`` fraction of it) to learn each column's range —
+    layout-only statistics; clamping keeps out-of-range rows legal.
+    """
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_by takes 2-4 columns")
+    ords = [_ordinal(df, c) for c in cols]
+    src = df.sample(stats_sample) if stats_sample else df
+    aggs = []
+    for c, o in zip(cols, ords):
+        aggs += [F.min(o).alias(f"lo_{c}"), F.max(o).alias(f"hi_{c}")]
+    row = src.agg(*aggs).first()
+    qs = [_quantize(o, row[f"lo_{c}"] or 0, row[f"hi_{c}"] or 0)
+          for c, o in zip(cols, ords)]
+    return _interleave(qs)

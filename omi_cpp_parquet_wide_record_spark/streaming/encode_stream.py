@@ -98,10 +98,19 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
                   salt_key: str | None = None, num_pids: int = 32,
                   query_name: str = "owr_stream_encode",
                   checkpoint_dir: str | None = None,
-                  sort_by: list[str] | None = None):
+                  sort_by: list[str] | None = None,
+                  upsert_key: str | None = None):
     """Streaming encode: every micro-batch flows through encode_dataframe
     via foreachBatch; the snapshot commit per batch gives exactly-once
-    output (replayed batches hit the resume anti-filter)."""
+    output (replayed batches hit the resume anti-filter).
+
+    ``upsert_key`` turns the stream into a CDC apply (streaming MERGE):
+    each micro-batch replaces prior rows carrying its keys via the
+    single-commit upsert — the equality delete and the batch's data land
+    in ONE snapshot, so readers always see exactly one row per key no
+    matter where the stream is interrupted. Replayed epochs are still
+    skipped whole by the run_id guard (the original commit was atomic,
+    so a replay has nothing to repair)."""
     import os
     import uuid
 
@@ -154,7 +163,8 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
             return
         encode_dataframe(batch_df, out_dir, partition_by=partition_by,
                          salt_key=salt_key, num_pids=num_pids,
-                         run_id=run_id, resume=False, sort_by=sort_by)
+                         run_id=run_id, resume=False, sort_by=sort_by,
+                         upsert_key=upsert_key)
     return (src.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).queryName(query_name).start())

@@ -1459,3 +1459,112 @@ def test_upsert_idempotent_reapply(spark, tmp_path):
     got = decode_store(spark, out)
     assert got.count() == 50
     assert got.filter(F.col("s") == "v2").count() == 10
+
+
+def test_zorder_layout_prunes_every_z_column(spark, tmp_path):
+    """zorder_by (OPTIMIZE ZORDER BY): the Morton-interleaved write
+    layout gives BOTH participating columns partially tight zone maps,
+    so a range filter on EITHER column prunes chunk files — where a
+    lexicographic sort_by=[k1] only ever prunes on k1. Results stay
+    identical to the unsorted store (layout-only)."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        prune_files,
+    )
+    df = (spark.range(0, 60000)
+          .select(F.col("id"),
+                  F.pmod(F.col("id") * 7919, F.lit(60000)).alias("k1"),
+                  F.pmod(F.col("id") * 104729, F.lit(60000)).alias("k2")))
+    kw = dict(salt_key="id", num_pids=2, salt=1, chunk_rows=1000)
+    plain_dir = str(tmp_path / "plain")
+    lex_dir = str(tmp_path / "lex")
+    z_dir = str(tmp_path / "z")
+    encode_dataframe(df, plain_dir, **kw)
+    encode_dataframe(df, lex_dir, sort_by=["k1"], **kw)
+    encode_dataframe(df, z_dir, zorder_by=["k1", "k2"], **kw)
+    f1 = [("k1", "<", 4000)]
+    f2 = [("k2", "<", 4000)]
+    n_all = len(prune_files(ChunkStore(plain_dir).manifest_table(), []))
+    for flt in (f1, f2):
+        pz = len(prune_files(ChunkStore(z_dir).manifest_table(), flt))
+        pp = len(prune_files(ChunkStore(plain_dir).manifest_table(), flt))
+        assert pz < pp, (flt, pz, pp)
+        # z-order must beat the unsorted layout by a real margin on BOTH
+        # columns (each z-column keeps ~sqrt of the domain per chunk)
+        assert pz <= n_all // 2, (flt, pz, n_all)
+    # the lexicographic store prunes k1 hard but k2 not at all
+    lex_k2 = len(prune_files(ChunkStore(lex_dir).manifest_table(), f2))
+    z_k2 = len(prune_files(ChunkStore(z_dir).manifest_table(), f2))
+    assert z_k2 < lex_k2, (z_k2, lex_k2)
+    # correctness: identical rows with and without the z layout
+    for flt in (f1, f2):
+        a = decode_store(spark, plain_dir, filters=flt)
+        b = decode_store(spark, z_dir, filters=flt)
+        assert a.count() == b.count() == 4000
+        assert sorted(r.id for r in a.collect()) \
+            == sorted(r.id for r in b.collect())
+
+
+def test_zorder_types_nulls_and_guards(spark, tmp_path):
+    """zorder_key handles string/timestamp columns and NULLs (sort as the
+    column minimum); constant columns quantize to 0; bad inputs raise."""
+    import datetime
+    import pytest
+    from omi_cpp_parquet_wide_record_spark.operators.zorder import (
+        zorder_key,
+    )
+    from pyspark.sql import functions as F
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    df = spark.createDataFrame(
+        [(None, None, None)]
+        + [(f"w{i:03d}", base + datetime.timedelta(hours=i), float(i))
+           for i in range(50)],
+        "s string, t timestamp, v double")
+    out = df.select(zorder_key(df, ["s", "t", "v"]).alias("z"))
+    vals = [r.z for r in out.collect()]
+    assert len(vals) == 51 and all(v is not None and v >= 0 for v in vals)
+    # the all-NULL row interleaves three zero ordinals -> key 0
+    assert min(vals) == 0
+    # monotone inputs produce increasing keys overall (locality sanity)
+    assert vals[1] < vals[-1]
+    # constant column contributes 0 bits but doesn't break the key
+    cdf = df.withColumn("v", F.lit(7.0))
+    cout = cdf.select(zorder_key(cdf, ["t", "v"]).alias("z"))
+    assert cout.count() == 51
+    with pytest.raises(ValueError, match="2-4"):
+        zorder_key(df, ["v"])
+    with pytest.raises(ValueError, match="does not support"):
+        adf = df.withColumn("a", F.array(F.lit(1)))
+        zorder_key(adf, ["v", "a"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_dataframe(df, str(tmp_path / "x"), salt_key="v",
+                         num_pids=2, sort_by=["v"], zorder_by=["v", "t"])
+
+
+def test_compact_adopts_zorder(spark, tmp_path):
+    """compact_store(zorder_by=...) rewrites an arrival-ordered store
+    into the multi-column layout; rows identical, both columns prune."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        prune_files,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        compact_store,
+    )
+    df = (spark.range(0, 30000)
+          .select(F.col("id"),
+                  F.pmod(F.col("id") * 7919, F.lit(30000)).alias("k1"),
+                  F.pmod(F.col("id") * 104729, F.lit(30000)).alias("k2")))
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    encode_dataframe(df, src, salt_key="id", num_pids=2, salt=1,
+                     chunk_rows=1000)
+    compact_store(spark, src, dst, salt_key="id", num_pids=2,
+                  zorder_by=["k1", "k2"], chunk_rows=1000)
+    for flt in ([("k1", "<", 2000)], [("k2", "<", 2000)]):
+        ps = len(prune_files(ChunkStore(src).manifest_table(), flt))
+        pd_ = len(prune_files(ChunkStore(dst).manifest_table(), flt))
+        assert pd_ < ps, (flt, pd_, ps)
+    assert decode_store(spark, dst).count() == 30000
+    assert sorted(r.id for r in decode_store(spark, dst).collect()) \
+        == list(range(30000))

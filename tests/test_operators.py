@@ -823,3 +823,43 @@ def test_materialized_ivf_index_parity_and_pruning(spark, tmp_path):
     all_files = prune_files(m, [])
     probed = prune_files(m, [("centroid", "in", [0, 3])])
     assert 0 < len(probed) < len(all_files), (len(probed), len(all_files))
+
+
+def test_stream_encode_cdc_upsert(spark, tmp_path):
+    """stream_encode(upsert_key=...) is a streaming CDC apply: each
+    micro-batch's keys replace prior rows in ONE snapshot per batch, so
+    the store always holds exactly one live row per key; a replay from
+    the same checkpoint changes nothing."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+        stream_encode,
+    )
+    src_dir = str(tmp_path / "src")
+    df1 = spark.createDataFrame([(i, f"v1_{i}") for i in range(100)],
+                                "id long, s string")
+    df1.coalesce(1).write.parquet(src_dir)
+    out = str(tmp_path / "store")
+    q = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                      num_pids=2, query_name="t_cdc1", upsert_key="id")
+    q.awaitTermination(120)
+    assert decode_store(spark, out).count() == 100
+    # CDC batch: updates for 40..59, inserts for 100..119
+    df2 = spark.createDataFrame(
+        [(i, f"v2_{i}") for i in range(40, 60)]
+        + [(i, f"v2_{i}") for i in range(100, 120)], "id long, s string")
+    df2.coalesce(1).write.mode("append").parquet(src_dir)
+    q2 = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                       num_pids=2, query_name="t_cdc2", upsert_key="id")
+    q2.awaitTermination(120)
+    got = decode_store(spark, out)
+    assert got.count() == 120
+    upd = {r.s for r in got.filter((F.col("id") >= 40)
+                                   & (F.col("id") < 60)).collect()}
+    assert upd == {f"v2_{i}" for i in range(40, 60)}
+    assert {r.s for r in got.filter(F.col("id") == 0).collect()} == {"v1_0"}
+    # replay: no new files, run_id guard skips everything
+    q3 = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                       num_pids=2, query_name="t_cdc3", upsert_key="id")
+    q3.awaitTermination(120)
+    assert decode_store(spark, out).count() == 120
