@@ -467,6 +467,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                              ("n_chars", "<", 300)])
     q["zorder_pruned_scan"] = _zorder_scan
 
+    def _prefix_scan(s, d):
+        """O13 + string-prefix pushdown (r5): ``startswith`` prunes chunk
+        files via the [p, prefix_upper(p)) zone-map range — src1* covers
+        src1, src10..src19 (true prefix semantics, not equality)."""
+        import pyarrow.parquet as _pq
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            decode_store,
+        )
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            encode_dataframe,
+        )
+        _tune(s)
+        n_src = _pq.ParquetFile(
+            os.path.join(d, "documents.parquet")).metadata.num_rows
+        out = _store_path(d, "documents", ["prefix"], {}, "sw1")
+        if not _store_valid(out, n_src):
+            shutil.rmtree(out, ignore_errors=True)
+            docs = _read(s, d, "documents").select("doc_id", "source",
+                                                   "n_chars")
+            encode_dataframe(docs, out, salt_key="doc_id", num_pids=4,
+                             chunk_rows=64, sort_by=["source"])
+        return decode_store(s, out,
+                            filters=[("source", "startswith", "src1")])
+    q["prefix_pruned_scan"] = _prefix_scan
+
     # ---------------- reference operators O2-O14 over the driver tables
     def _pruned_scan(s, d):
         """O13 with real I/O pruning AND cross-snapshot schema evolution:
@@ -935,6 +960,11 @@ def oracle_sql() -> dict[str, str]:
     sql["zorder_pruned_scan"] = (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE doc_id < 300 AND n_chars < 300")
+
+    # prefix pushdown is LIKE 'p%' relationally
+    sql["prefix_pruned_scan"] = (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE source LIKE 'src1%'")
 
     # evolved store: rows encoded before n_chars existed read back NULL
     # (Iceberg add-column null-fill); the commit boundary is count/2

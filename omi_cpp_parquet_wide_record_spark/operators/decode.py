@@ -78,6 +78,27 @@ def _nullable_type(t: pa.DataType) -> pa.DataType:
     return t
 
 
+def _prefix_upper(p: str) -> str | None:
+    """The least string strictly greater than every string with prefix
+    ``p`` (increment the last incrementable code point, dropping any
+    trailing U+10FFFF); None when no such bound exists ('' or all-max)."""
+    cp = list(p)
+    while cp:
+        if ord(cp[-1]) < 0x10FFFF:
+            cp[-1] = chr(ord(cp[-1]) + 1)
+            return "".join(cp)
+        cp.pop()
+    return None
+
+
+def _startswith_keep(lo, hi, v):
+    """Chunk may hold a string with prefix v iff its range intersects
+    [v, prefix_upper(v)). Works element-wise on numpy arrays or scalars."""
+    up = _prefix_upper(v)
+    keep = hi >= v
+    return keep if up is None else keep & (lo < up)
+
+
 _PRUNE_OPS = {
     "<": lambda lo, hi, v: lo < v,       # chunk may hold a value < v
     "<=": lambda lo, hi, v: lo <= v,
@@ -86,6 +107,7 @@ _PRUNE_OPS = {
     "==": lambda lo, hi, v: lo <= v <= hi,
     # IN-list: satisfiable if ANY member could be in the chunk
     "in": lambda lo, hi, v: any(lo <= x <= hi for x in v),
+    "startswith": lambda lo, hi, v: bool(_startswith_keep(lo, hi, v)),
 }
 
 
@@ -182,6 +204,7 @@ def prune_files(manifest: pa.Table,
         "in": lambda lo, hi, v: np.logical_or.reduce(
             [(lo <= x) & (hi >= x) for x in v]) if len(v) else
             np.zeros(len(lo), dtype=bool),
+        "startswith": _startswith_keep,
     }
     has_bloom = "bloom" in manifest.schema.names
     excluded: set[str] = set()
@@ -403,6 +426,9 @@ def distributed_file_plan(spark: SparkSession, paths: list[str],
             else F.col("stat_min").startswith('"')
         excl = {"<": lo >= sv, "<=": lo > sv, ">": hi <= sv,
                 ">=": hi < sv, "==": (lo > sv) | (hi < sv)}.get(op)
+        if op == "startswith":
+            up = _prefix_upper(v)
+            excl = (hi < sv) if up is None else (hi < sv) | (lo >= F.lit(up))
         return None if excl is None else guard & excl
 
     conds = []
@@ -457,8 +483,10 @@ def decode_store(spark: SparkSession, out_dir: str,
     aimed at pre-M data are invisible here (their targets are not
     scanned), matching append-scan semantics.
 
-    ``filters=[(col, op, value), ...]`` (ops: < <= > >= == in, ANDed;
-    ``in`` takes a list/tuple of values) pushes the predicate into the
+    ``filters=[(col, op, value), ...]`` (ops: < <= > >= == in startswith,
+    ANDed; ``in`` takes a list/tuple of values, ``startswith`` a string
+    prefix pruned as the range [p, prefix_upper(p))) pushes the predicate
+    into the
     store: chunk files whose zone maps and blooms cannot satisfy it are
     never opened (an IN list prunes a chunk only when EVERY member is
     provably absent), and the exact filter is applied to the surviving
@@ -669,6 +697,10 @@ def decode_store(spark: SparkSession, out_dir: str,
             if op == "in":
                 out = out.filter(col.isin(*list(v)) if len(v)
                                  else F.lit(False))
+            elif op == "startswith":
+                # kept out of the dict below: it is built eagerly and
+                # startswith(non-string) has no JVM overload
+                out = out.filter(col.startswith(v))
             else:
                 out = out.filter(
                     {"<": col < v, "<=": col <= v, ">": col > v,

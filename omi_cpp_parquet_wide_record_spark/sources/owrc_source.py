@@ -64,10 +64,11 @@ class OwrcReader(DataSourceReader):
         granularity), so Spark must still apply the exact predicate."""
         from pyspark.sql.datasource import (
             EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
-            LessThanOrEqual,
+            LessThanOrEqual, StringStartsWith,
         )
         ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
-               LessThan: "<", LessThanOrEqual: "<="}
+               LessThan: "<", LessThanOrEqual: "<=",
+               StringStartsWith: "startswith"}
         for f in filters:
             if type(f) in ops and len(f.attribute) == 1:
                 self._zone_filters.append(

@@ -800,6 +800,10 @@ def test_pruning_parity_driver_vs_distributed(spark, tmp_path):
         # two columns, mixed types
         [("domain", "==", "site-3"), ("id", ">=", 2000)],
         [("url", "==", "nope://missing")],
+        # prefix pushdown: pruned as the range [p, prefix_upper(p))
+        [("url", "startswith", "https://example.org/page/12")],
+        [("url", "startswith", "nope")],
+        [("domain", "startswith", "site-")],
     ]
     for filters in cases:
         drv = prune_files(m, filters)
@@ -858,9 +862,12 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
             return (col, op, rnd.randrange(0, top + 50))
         prefix, top = ("u-", N) if col == "key" else ("d-", 16)
         mk = lambda: prefix + str(rnd.randrange(0, top))  # noqa: E731
-        op = rnd.choice(["<", ">=", "==", "in"])
+        op = rnd.choice(["<", ">=", "==", "in", "startswith"])
         if op == "in":
             return (col, op, [mk() for _ in range(rnd.randrange(1, 4))])
+        if op == "startswith":
+            # vary prefix length: from the constant head to a full key
+            return (col, op, mk()[:rnd.randrange(1, 6)])
         return (col, op, mk())
 
     exprs = {"<": lambda c, v: F.col(c) < v,
@@ -868,7 +875,8 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
              ">": lambda c, v: F.col(c) > v,
              ">=": lambda c, v: F.col(c) >= v,
              "==": lambda c, v: F.col(c) == v,
-             "in": lambda c, v: F.col(c).isin(v)}
+             "in": lambda c, v: F.col(c).isin(v),
+             "startswith": lambda c, v: F.col(c).startswith(v)}
     for trial in range(25):
         filters = [rand_filter() for _ in range(rnd.randrange(1, 4))]
         cond = None
@@ -1568,3 +1576,43 @@ def test_compact_adopts_zorder(spark, tmp_path):
     assert decode_store(spark, dst).count() == 30000
     assert sorted(r.id for r in decode_store(spark, dst).collect()) \
         == list(range(30000))
+
+
+def test_startswith_prefix_pushdown(spark, tmp_path):
+    """startswith filters prune via the [p, prefix_upper(p)) range on a
+    url-sorted store, and the owrc DataSource pushes StringStartsWith
+    into the same pruning; _prefix_upper handles the carry edge cases."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        _prefix_upper, prune_files,
+    )
+    assert _prefix_upper("abc") == "abd"
+    assert _prefix_upper("ab\U0010FFFF") == "ac"
+    assert _prefix_upper("\U0010FFFF") is None
+    assert _prefix_upper("") is None
+    df = spark.range(0, 8000).select(
+        F.col("id"),
+        F.concat(F.lit("https://"),
+                 F.element_at(F.array(F.lit("alpha"), F.lit("beta"),
+                                      F.lit("gamma"), F.lit("delta")),
+                              (F.col("id") % 4 + 1).cast("int")),
+                 F.lit(".example/"), F.col("id")).alias("url"))
+    out = str(tmp_path / "store")
+    encode_dataframe(df, out, salt_key="id", num_pids=2, salt=1,
+                     chunk_rows=500, sort_by=["url"])
+    m = ChunkStore(out).manifest_table()
+    flt = [("url", "startswith", "https://beta.example/")]
+    pruned = prune_files(m, flt)
+    assert len(pruned) < len(prune_files(m, []))
+    got = decode_store(spark, out, filters=flt)
+    assert got.count() == 2000
+    assert all(r.url.startswith("https://beta.example/")
+               for r in got.collect())
+    # DataSource path: .filter(startswith) prunes AND returns exact rows
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    spark.dataSource.register(OwrcDataSource)
+    sdf = (spark.read.format("owrc").load(out)
+           .filter(F.col("url").startswith("https://gamma.example/")))
+    assert sdf.count() == 2000
