@@ -492,6 +492,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                             filters=[("source", "startswith", "src1")])
     q["prefix_pruned_scan"] = _prefix_scan
 
+    def _notnull_scan(s, d):
+        """O13 + null-count pruning (r5): IS NOT NULL prunes all-null
+        chunks via the manifest's per-chunk null counts (those chunks
+        carry no zone-map stats at all, so only the null counts can
+        exclude them). Shares the prefix store."""
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            decode_store,
+        )
+        _prefix_scan(s, d)   # builds/validates the shared store
+        out = _store_path(d, "documents", ["prefix"], {}, "sw1")
+        return decode_store(
+            s, out, filters=[("n_chars", "is_not_null", None)])
+    q["notnull_pruned_scan"] = _notnull_scan
+
     # ---------------- reference operators O2-O14 over the driver tables
     def _pruned_scan(s, d):
         """O13 with real I/O pruning AND cross-snapshot schema evolution:
@@ -965,6 +979,10 @@ def oracle_sql() -> dict[str, str]:
     sql["prefix_pruned_scan"] = (
         "SELECT doc_id, source, n_chars FROM documents "
         "WHERE source LIKE 'src1%'")
+
+    sql["notnull_pruned_scan"] = (
+        "SELECT doc_id, source, n_chars FROM documents "
+        "WHERE n_chars IS NOT NULL")
 
     # evolved store: rows encoded before n_chars existed read back NULL
     # (Iceberg add-column null-fill); the commit boundary is count/2

@@ -213,6 +213,23 @@ def prune_files(manifest: pa.Table,
         sub = manifest.filter(pc.equal(manifest.column("column"), base_c))
         if sub.num_rows == 0:
             continue
+        # null-count pruning: the manifest's nulls/rows columns answer
+        # IS [NOT] NULL exactly — a chunk with zero nulls can't satisfy
+        # is_null, an all-null chunk can't satisfy is_not_null (the
+        # latter also covers all-null chunks, which carry no stats at
+        # all). Top-level columns only; nested accessors stay unpruned.
+        null_ops = [op for op, _ in ops
+                    if op in ("is_null", "is_not_null")]
+        if null_ops and acc is None and "nulls" in sub.schema.names:
+            n_null = sub.column("nulls").to_numpy(zero_copy_only=False)
+            n_rows = sub.column("rows").to_numpy(zero_copy_only=False)
+            nbad = np.zeros(len(n_null), dtype=bool)
+            for op in null_ops:
+                nbad |= (n_null == 0) if op == "is_null" \
+                    else (n_null == n_rows)
+            if nbad.any():
+                excluded.update(sub.column("chunk_file")
+                                .filter(pa.array(nbad)).to_pylist())
         srows = sub.filter(sub.column("stat_min").is_valid())
         if srows.num_rows:
             # whole-column JSON parse: arrow-side join into one "[..]"
@@ -434,6 +451,13 @@ def distributed_file_plan(spark: SparkSession, paths: list[str],
     conds = []
     for c, op, v in filters:
         base_c, acc = _split_filter_col(c)
+        if op in ("is_null", "is_not_null"):
+            if acc is not None or "nulls" not in mdf.columns:
+                continue
+            excl = (F.col("nulls") == 0) if op == "is_null" \
+                else (F.col("nulls") == F.col("rows"))
+            conds.append((F.col("column") == base_c) & excl)
+            continue
         if op == "in":
             if not isinstance(v, (list, tuple)) or not v:
                 continue
@@ -483,10 +507,11 @@ def decode_store(spark: SparkSession, out_dir: str,
     aimed at pre-M data are invisible here (their targets are not
     scanned), matching append-scan semantics.
 
-    ``filters=[(col, op, value), ...]`` (ops: < <= > >= == in startswith,
-    ANDed; ``in`` takes a list/tuple of values, ``startswith`` a string
-    prefix pruned as the range [p, prefix_upper(p))) pushes the predicate
-    into the
+    ``filters=[(col, op, value), ...]`` (ops: < <= > >= == in startswith
+    is_null is_not_null, ANDed; ``in`` takes a list/tuple of values,
+    ``startswith`` a string prefix pruned as the range
+    [p, prefix_upper(p)), the null ops ignore the value and prune on the
+    manifest's per-chunk null counts) pushes the predicate into the
     store: chunk files whose zone maps and blooms cannot satisfy it are
     never opened (an IN list prunes a chunk only when EVERY member is
     provably absent), and the exact filter is applied to the surviving
@@ -697,6 +722,10 @@ def decode_store(spark: SparkSession, out_dir: str,
             if op == "in":
                 out = out.filter(col.isin(*list(v)) if len(v)
                                  else F.lit(False))
+            elif op == "is_null":
+                out = out.filter(col.isNull())
+            elif op == "is_not_null":
+                out = out.filter(col.isNotNull())
             elif op == "startswith":
                 # kept out of the dict below: it is built eagerly and
                 # startswith(non-string) has no JVM overload

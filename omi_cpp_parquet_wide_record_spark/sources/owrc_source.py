@@ -63,16 +63,21 @@ class OwrcReader(DataSourceReader):
         every filter back as unhandled: pruning is conservative (chunk
         granularity), so Spark must still apply the exact predicate."""
         from pyspark.sql.datasource import (
-            EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan,
-            LessThanOrEqual, StringStartsWith,
+            EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull,
+            IsNull, LessThan, LessThanOrEqual, StringStartsWith,
         )
         ops = {EqualTo: "==", GreaterThan: ">", GreaterThanOrEqual: ">=",
                LessThan: "<", LessThanOrEqual: "<=",
                StringStartsWith: "startswith"}
+        null_ops = {IsNull: "is_null", IsNotNull: "is_not_null"}
         for f in filters:
             if type(f) in ops and len(f.attribute) == 1:
                 self._zone_filters.append(
                     (f.attribute[0], ops[type(f)], f.value))
+            elif type(f) in null_ops and len(f.attribute) == 1:
+                # null-count pruning (no literal value)
+                self._zone_filters.append(
+                    (f.attribute[0], null_ops[type(f)], None))
             elif type(f) is In and len(f.attribute) == 1:
                 # df.filter(col.isin(...)) prunes via zone maps + blooms
                 # (a chunk drops only when EVERY member is provably absent)

@@ -838,7 +838,8 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
         F.concat(F.lit("u-"), F.pmod(F.col("id") * 7919, F.lit(N)))
          .alias("key"),
         F.concat(F.lit("d-"), (F.col("id") % 13).cast("string"))
-         .alias("cat"))
+         .alias("cat"),
+        F.when(F.col("id") % 5 != 0, F.col("id") * 11).alias("w"))
     out = str(tmp_path / "store")
     encode_dataframe(df, out, salt_key="key", num_pids=12,
                      chunk_rows=500, sort_by=["id"])
@@ -851,7 +852,12 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
              for x in snap["manifests"]]
 
     def rand_filter():
-        col = rnd.choice(["id", "v", "key", "cat"])
+        col = rnd.choice(["id", "v", "key", "cat", "w"])
+        if col == "w":
+            op = rnd.choice(["is_null", "is_not_null", "<", ">="])
+            if op in ("is_null", "is_not_null"):
+                return (col, op, None)
+            return (col, op, rnd.randrange(0, N * 11))
         if col in ("id", "v"):
             top = N if col == "id" else 101
             op = rnd.choice(["<", "<=", ">", ">=", "==", "in"])
@@ -876,7 +882,9 @@ def test_pruning_fuzz_never_loses_rows(spark, tmp_path):
              ">=": lambda c, v: F.col(c) >= v,
              "==": lambda c, v: F.col(c) == v,
              "in": lambda c, v: F.col(c).isin(v),
-             "startswith": lambda c, v: F.col(c).startswith(v)}
+             "startswith": lambda c, v: F.col(c).startswith(v),
+             "is_null": lambda c, v: F.col(c).isNull(),
+             "is_not_null": lambda c, v: F.col(c).isNotNull()}
     for trial in range(25):
         filters = [rand_filter() for _ in range(rnd.randrange(1, 4))]
         cond = None
@@ -1616,3 +1624,45 @@ def test_startswith_prefix_pushdown(spark, tmp_path):
     sdf = (spark.read.format("owrc").load(out)
            .filter(F.col("url").startswith("https://gamma.example/")))
     assert sdf.count() == 2000
+
+
+def test_null_count_pruning(spark, tmp_path):
+    """is_null / is_not_null prune on the manifest's per-chunk null
+    counts: chunks with zero nulls can't serve IS NULL, all-null chunks
+    (which carry no zone-map stats at all) can't serve IS NOT NULL —
+    and both planning modes open the same files."""
+    import os
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan, prune_files,
+    )
+    # sorted by id so chunks are id-contiguous: v is NULL only for
+    # id < 1000 -> the null rows concentrate in a few chunks
+    df = spark.range(0, 8000).select(
+        F.col("id"),
+        F.when(F.col("id") >= 1000, F.col("id") * 3).alias("v"))
+    out = str(tmp_path / "store")
+    encode_dataframe(df, out, salt_key="id", num_pids=2, salt=1,
+                     chunk_rows=500, sort_by=["id"])
+    store = ChunkStore(out)
+    snap = store.current_snapshot()
+    m = store.manifest_table(snap)
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+    n_all = len(prune_files(m, []))
+    for flt, want in ([("v", "is_null", None)], 1000), \
+                     ([("v", "is_not_null", None)], 7000):
+        pruned = prune_files(m, flt)
+        assert len(pruned) < n_all, (flt, len(pruned), n_all)
+        dist = sorted(r.chunk_file for r in
+                      distributed_file_plan(spark, paths, flt).collect())
+        assert pruned == dist, flt
+        assert decode_store(spark, out, filters=flt).count() == want
+    # DataSource pushdown: isNull()/isNotNull() reach the same pruning
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    spark.dataSource.register(OwrcDataSource)
+    sdf = spark.read.format("owrc").load(out)
+    assert sdf.filter(F.col("v").isNull()).count() == 1000
+    assert sdf.filter(F.col("v").isNotNull()).count() == 7000
