@@ -440,6 +440,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_store(s, out)
     q["o11_upsert_merge"] = _upsert_merge
 
+    def _rewrite_binpack(s, d):
+        """O11/O13 + in-place compaction (r5 rewrite_data_files binpack):
+        three streaming-sized commits fragment every pid into tiny
+        chunks; ``rewrite_small_chunks`` coalesces them under ONE
+        pid-scoped rewrite commit. The live read after the rewrite is
+        byte-identical to the pre-rewrite view — the oracle is simply
+        the source table, thirds re-unioned."""
+        import pyarrow.parquet as _pq
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            decode_store,
+        )
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            encode_dataframe,
+        )
+        from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+            rewrite_small_chunks,
+        )
+        _tune(s)
+        n_src = _pq.ParquetFile(
+            os.path.join(d, "documents.parquet")).metadata.num_rows
+        out = _store_path(d, "documents", ["rewrite"], {}, "rw1")
+        if not _store_valid(out, n_src, n_snapshots=4):
+            shutil.rmtree(out, ignore_errors=True)
+            docs = _read(s, d, "documents").select("doc_id", "lang",
+                                                   "n_chars")
+            third = (n_src + 2) // 3
+            for i in range(3):
+                encode_dataframe(
+                    docs.filter((F.col("doc_id") >= i * third)
+                                & (F.col("doc_id") < (i + 1) * third)),
+                    out, salt_key="doc_id", num_pids=4, chunk_rows=64,
+                    resume=False)
+            res = rewrite_small_chunks(s, out, target_rows=65536)
+            assert res["rewritten_pids"], res
+        return decode_store(s, out)
+    q["o11_rewrite_binpack"] = _rewrite_binpack
+
     def _zorder_scan(s, d):
         """O11/O13 + multi-column layout (r5 zorder): the store is written
         with the Morton interleave of (doc_id, n_chars), so zone maps
@@ -969,6 +1006,12 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT doc_id, upper(lang) AS lang, n_chars + 100000 AS n_chars "
         "FROM documents WHERE doc_id % 5 = 0")
+
+    # the binpack rewrite reorganizes bytes only — the live view it must
+    # reproduce is just the source table (doc_id is dense, the three
+    # commit thirds cover it exactly)
+    sql["o11_rewrite_binpack"] = \
+        "SELECT doc_id, lang, n_chars FROM documents"
 
     # layout-independent view of the z-ordered store: a plain filter
     sql["zorder_pruned_scan"] = (

@@ -34,6 +34,13 @@ def main() -> int:
     d.add_argument("--key", required=True)
     d.add_argument("--values", nargs="+", required=True,
                    help="key values; typed per the store schema")
+    rw = sub.add_parser("rewrite")
+    rw.add_argument("--target-rows", type=int, default=65536)
+    rw.add_argument("--min-avg-frac", type=float, default=0.5,
+                    help="rewrite pids whose avg chunk is under this "
+                         "fraction of --target-rows")
+    rw.add_argument("--pids", nargs="*", type=int, default=None)
+    rw.add_argument("--sort-by", nargs="*", default=None)
     c = sub.add_parser("compact")
     c.add_argument("--output", required=True)
     c.add_argument("--salt-key", default=None)
@@ -88,6 +95,16 @@ def main() -> int:
         snap = delete_rows(args.store, keys, args.key)
         print(json.dumps({"snapshot": snap["n"],
                           "delete_files": len(snap["delete_files"])}))
+        return 0
+
+    if args.cmd == "rewrite":
+        from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+            rewrite_small_chunks,
+        )
+        print(json.dumps(rewrite_small_chunks(
+            spark, args.store, target_rows=args.target_rows,
+            min_avg_frac=args.min_avg_frac, pids=args.pids,
+            sort_by=args.sort_by)))
         return 0
 
     if args.cmd == "compact":

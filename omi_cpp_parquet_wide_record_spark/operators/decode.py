@@ -362,7 +362,8 @@ def _bloom_absent_multi_udf(literals: dict[str, list[list]]):
 
 
 def distributed_file_plan(spark: SparkSession, paths: list[str],
-                          filters: list[tuple[str, str, object]] | None
+                          filters: list[tuple[str, str, object]] | None,
+                          drop_pids: list[int] | None = None
                           ) -> DataFrame:
     """Chunk-file list as a Spark plan — manifests are read as data, the
     driver never materializes the list. Zone pruning runs as an anti-join
@@ -376,6 +377,11 @@ def distributed_file_plan(spark: SparkSession, paths: list[str],
     from pyspark.sql import functions as F
 
     mdf = spark.read.option("mergeSchema", "true").parquet(*paths)
+    if drop_pids:
+        # pid-scoped rewrite exclusion: these manifests' rows for the
+        # given pids were superseded by a later rewrite commit (bounded
+        # by num_pids — an isin literal, no join)
+        mdf = mdf.filter(~F.col("pid").isin([int(p) for p in drop_pids]))
     fdf = mdf.select("chunk_file").distinct()
     if not filters or "stat_min" not in mdf.columns:
         return fdf
@@ -536,10 +542,17 @@ def decode_store(spark: SparkSession, out_dir: str,
         raise FileNotFoundError(f"no snapshot at {out_dir}")
     if since_snapshot is not None:
         base = store.snapshot_at(since_snapshot)
-        seen = set(base["manifests"])
+        # skip pid-rewrite commits (they reorganize bytes, appending no
+        # logical rows) and read the ORIGINAL appended rows instead of
+        # the rewritten view — Iceberg's incremental append scan does the
+        # same: replace snapshots are skipped and the original files
+        # (retained until the base snapshot itself expires) are read
+        seen = set(base["manifests"]) | set(
+            snap.get("rewrite_manifests", []))
         snap = {**snap,
                 "manifests": [m for m in snap["manifests"]
-                              if m not in seen]}
+                              if m not in seen],
+                "pid_rewrites": {}}
     schema = store.arrow_schema(snap)
     # merge-on-read deletes must apply regardless of the requested
     # projection: decode the delete-key columns too, anti-join, and drop
@@ -658,23 +671,37 @@ def decode_store(spark: SparkSession, out_dir: str,
             spark.sparkContext.defaultParallelism * 2
         ).mapInArrow(task, spark_schema)
 
-    def _distributed_files(paths: list[str]) -> DataFrame:
-        return distributed_file_plan(spark, paths, filters)
+    def _distributed_files(paths: list[str],
+                           drop_pids: frozenset = frozenset()) -> DataFrame:
+        return distributed_file_plan(spark, paths, filters,
+                                     drop_pids=sorted(drop_pids))
 
+    # pid-scoped rewrites (Iceberg rewrite_data_files): manifests older
+    # than a pid's rewrite commit must drop that pid's rows — driver
+    # planning gets this from manifest_table; the distributed path groups
+    # manifests by their dropped-pid set (snapshot metadata, bounded by
+    # num_pids) and filters each group's manifest scan
+    _drops = {m: frozenset(ChunkStore.rewritten_pids_for(snap, m))
+              for m in snap["manifests"]}
     if planning == "distributed":
         mpath = {m: os.path.join(store.manifests_dir, m)
                  for m in snap["manifests"]}
         if not mpath:
             out = apply_deletes(scan([]), None)
-        elif need_seq:
-            # one branch per commit epoch, exactly like driver planning —
-            # epochs come from snapshot metadata (commits, not data)
-            groups: dict[int, list[str]] = {}
+        elif need_seq or any(_drops.values()):
+            # one branch per (commit epoch, dropped-pid set), exactly
+            # like driver planning — both come from snapshot metadata
+            # (commits, not data). Without deletes all epochs share one
+            # branch per dropped-pid set.
+            groups: dict[tuple, list[str]] = {}
             for m, p in mpath.items():
-                groups.setdefault(_n_of(m), []).append(p)
+                key = (_n_of(m) if need_seq else 0, _drops[m])
+                groups.setdefault(key, []).append(p)
             branches = [
-                apply_deletes(scan_df(_distributed_files(g)), e)
-                for e, g in sorted(groups.items())]
+                apply_deletes(scan_df(_distributed_files(g, dp)),
+                              e if need_seq else None)
+                for (e, dp), g in sorted(groups.items(),
+                                         key=lambda kv: kv[0][0])]
             out = branches[0]
             for b in branches[1:]:
                 out = out.unionAll(b)

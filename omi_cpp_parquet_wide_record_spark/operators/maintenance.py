@@ -2,8 +2,11 @@
 
 The Iceberg maintenance surface for the chunk store: `delete_rows` commits
 an equality-delete file (data chunks untouched; readers anti-join the keys),
-and `compact_store` materializes deletes + rewrites the store into
-right-sized chunks under a fresh snapshot lineage.
+`compact_store` materializes deletes + rewrites the store into right-sized
+chunks under a fresh snapshot lineage, and `rewrite_small_chunks` is the
+in-place incremental variant (rewrite_data_files binpack): only fragmented
+work units are rewritten, under ONE pid-scoped rewrite commit in the same
+lineage.
 """
 
 from __future__ import annotations
@@ -72,3 +75,179 @@ def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
                            chunk_rows=chunk_rows)
     return {"rows": res.rows, "bytes_out": res.bytes_out,
             "chunks": ChunkStore(out_dir).metrics()["chunks"]}
+
+
+def rewrite_small_chunks(spark: SparkSession, store_dir: str,
+                         target_rows: int = 65536,
+                         min_avg_frac: float = 0.5,
+                         pids: list[int] | None = None,
+                         sort_by: list[str] | None = None) -> dict:
+    """Iceberg ``rewrite_data_files`` (binpack strategy), IN PLACE:
+    coalesce only the FRAGMENTED work units instead of recompacting the
+    whole table (`compact_store`) — at corpus scale streaming/CDC commits
+    fragment a sliver of pids per batch, and rewriting 10^12 rows to fix
+    10^6 is the difference between a maintenance job and a migration.
+
+    Selection: pids whose average chunk is under ``min_avg_frac *
+    target_rows`` rows and that hold 2+ chunks (or an explicit ``pids``
+    list). Each selected pid's live rows (merge-on-read deletes
+    MATERIALIZED, sequence scoping respected per source chunk) are
+    re-chunked at ``target_rows`` and committed as a pid-scoped rewrite:
+    the snapshot's ``pid_rewrites`` map hides the old rows from every
+    earlier manifest — one atomic commit, time travel intact, incremental
+    readers skip it (they re-read original appends instead). The rewrite
+    runs as ONE Spark job with a task per fragmented pid; nothing
+    driver-side scales with data.
+
+    ``sort_by`` re-clusters each pid's rows during the rewrite (the
+    binpack+sort combo); default preserves (commit, chunk) order.
+    """
+    import json as _json
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        SUMMARY_SCHEMA, _summary_ddl, _write_chunk,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+        MANIFEST_SCHEMA,
+    )
+
+    store = ChunkStore(store_dir)
+    snap = store.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {store_dir}")
+    schema = store.arrow_schema(snap)
+    m = store.manifest_table(snap, with_commit_n=True)   # live view
+    if m.num_rows == 0:
+        return {"rewritten_pids": [], "chunks_before": 0, "chunks_after": 0}
+    ref_col = m.column("column")[0].as_py()
+    sub = m.filter(pc.equal(m.column("column"), ref_col))
+    gb = sub.group_by("pid").aggregate([("rows", "sum"),
+                                        ("chunk_file", "count")])
+    cand: list[int] = []
+    for pid, rows_, nchunks in zip(gb.column("pid").to_pylist(),
+                                   gb.column("rows_sum").to_pylist(),
+                                   gb.column("chunk_file_count").to_pylist()):
+        if pids is not None:
+            if pid in set(int(p) for p in pids):
+                cand.append(int(pid))
+        elif nchunks >= 2 and rows_ / nchunks < min_avg_frac * target_rows:
+            cand.append(int(pid))
+    chunks_before = sub.num_rows
+    if not cand:
+        return {"rewritten_pids": [], "chunks_before": chunks_before,
+                "chunks_after": chunks_before}
+
+    # (pid -> ordered [(chunk_file, commit_n)]) from the live manifest view
+    want = sub.filter(pc.is_in(sub.column("pid"),
+                               value_set=pa.array(sorted(cand),
+                                                  type=pa.int32())))
+    per_pid: dict[int, list[tuple[str, int]]] = {}
+    for pid, f, n in zip(want.column("pid").to_pylist(),
+                         want.column("chunk_file").to_pylist(),
+                         want.column("commit_n").to_pylist()):
+        per_pid.setdefault(int(pid), []).append((f, int(n)))
+    for v in per_pid.values():
+        v.sort(key=lambda t: (t[1], t[0]))
+
+    deletes = [(os.path.join(store.deletes_dir, d["file"]), d["key"],
+                int(d["n"]) if d.get("n") is not None else None)
+               for d in store.delete_files(snap)
+               if d["key"] in schema.names]
+    run_id = uuid.uuid4().hex
+    chunks_dir, manifests_dir = store.chunks_dir, store.manifests_dir
+    col_names = list(schema.names)
+    schema_ipc = schema.serialize().to_pybytes()
+
+    def task(batches):
+        from pyspark import TaskContext
+
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            read_chunk_file,
+        )
+        tc = TaskContext.get()
+        tag = (f"{run_id[:8]}-rw{tc.taskAttemptId() if tc else 0}-"
+               f"{uuid.uuid4().hex[:6]}")
+        sch = pa.ipc.read_schema(pa.py_buffer(schema_ipc))
+        out_rows: list[dict] = []
+        plan_cache: dict = {}
+        for b in batches:
+            for pid, files_js in zip(b.column("pid").to_pylist(),
+                                     b.column("files").to_pylist()):
+                parts = []
+                for fname, n_f in _json.loads(files_js):
+                    t = read_chunk_file(os.path.join(chunks_dir, fname),
+                                        columns=col_names)
+                    for fld in sch:      # add-column null-fill
+                        if fld.name not in t.schema.names:
+                            t = t.append_column(
+                                fld.name, pa.nulls(t.num_rows,
+                                                   type=fld.type))
+                    t = t.select(sch.names).cast(sch)
+                    # MATERIALIZE merge-on-read deletes: the rewritten
+                    # chunks carry this commit's n, which EXEMPTS them
+                    # from older deletes — so those deletes must be
+                    # applied to the bytes now
+                    for dpath, key, dn in deletes:
+                        if dn is not None and n_f >= dn:
+                            continue     # delete doesn't scope this chunk
+                        keys = pq.read_table(dpath, columns=[key])
+                        t = t.filter(pc.invert(pc.is_in(
+                            t.column(key), value_set=keys.column(key)
+                            .combine_chunks())))
+                    if t.num_rows:
+                        parts.append(t)
+                if not parts:
+                    continue
+                tbl = pa.concat_tables(parts).combine_chunks()
+                if sort_by:
+                    tbl = tbl.sort_by([(c, "ascending") for c in sort_by])
+                for seq, off in enumerate(range(0, tbl.num_rows,
+                                                target_rows)):
+                    out_rows.extend(_write_chunk(
+                        chunks_dir, pid, seq,
+                        tbl.slice(off, target_rows),
+                        plan_cache, run_id, tag))
+        if not out_rows:
+            return
+        cols = {f.name: [r[f.name] for r in out_rows]
+                for f in MANIFEST_SCHEMA}
+        man = pa.table(cols, schema=MANIFEST_SCHEMA)
+        shard = f"manifest-shard-{run_id[:8]}-{tag}.parquet"
+        pq.write_table(man, os.path.join(manifests_dir, shard))
+        first_col = out_rows[0]["column"]
+        agg: dict[int, list] = {}
+        for r in out_rows:
+            a = agg.setdefault(r["pid"], [0, 0, 0, 0])
+            a[0] += r["rows"] if r["column"] == first_col else 0
+            a[1] += r["bytes_in"]
+            a[2] += r["bytes_out"]
+            a[3] += 1
+        yield pa.RecordBatch.from_pydict({
+            "shard_file": [shard] * len(agg),
+            "pid": list(agg),
+            "rows": [a[0] for a in agg.values()],
+            "bytes_in": [a[1] for a in agg.values()],
+            "bytes_out": [a[2] for a in agg.values()],
+            "chunks": [a[3] for a in agg.values()],
+        }, schema=SUMMARY_SCHEMA)
+
+    rows = [(p, _json.dumps(fs)) for p, fs in sorted(per_pid.items())]
+    fdf = spark.createDataFrame(rows, "pid int, files string").repartition(
+        min(len(rows), spark.sparkContext.defaultParallelism * 2))
+    summaries = fdf.mapInArrow(task, _summary_ddl()).toArrow() \
+        .cast(SUMMARY_SCHEMA)
+    shard_files = sorted(set(summaries.column("shard_file").to_pylist()))
+    store.commit(shard_files, schema, run_id,
+                 new_pids=set(cand), rewrite_pids=set(cand))
+    after = store.manifest_table()
+    chunks_after = after.filter(
+        pc.equal(after.column("column"), ref_col)).num_rows
+    return {"rewritten_pids": sorted(cand),
+            "chunks_before": chunks_before,
+            "chunks_after": chunks_after}

@@ -129,8 +129,30 @@ def _remove_orphan_chunks(store: ChunkStore, snaps: list[tuple[str, dict]],
         p = os.path.join(store.manifests_dir, m)
         if not os.path.exists(p):
             continue
-        t = pq.read_table(p, columns=["chunk_file"])
-        referenced.update(t.column("chunk_file").to_pylist())
+        # pid-scoped rewrites: a row is live in a snapshot only until a
+        # later rewrite supersedes its pid there. A chunk is referenced
+        # iff SOME retained snapshot containing this manifest still
+        # serves its pid from it — pids rewritten away in EVERY such
+        # snapshot are dead weight the rewrite paid to retire.
+        holders = [s for _, s in snaps if m in s["manifests"]]
+        dropped_everywhere: set[int] | None = None
+        for s in holders:
+            d = ChunkStore.rewritten_pids_for(s, m)
+            dropped_everywhere = d if dropped_everywhere is None \
+                else (dropped_everywhere & d)
+        if dropped_everywhere:
+            t = pq.read_table(p, columns=["chunk_file", "pid"])
+            import pyarrow.compute as pc
+            import pyarrow as pa
+            keep = pc.invert(pc.is_in(
+                t.column("pid"),
+                value_set=pa.array(sorted(dropped_everywhere),
+                                   type=t.schema.field("pid").type)))
+            referenced.update(
+                t.column("chunk_file").filter(keep).to_pylist())
+        else:
+            t = pq.read_table(p, columns=["chunk_file"])
+            referenced.update(t.column("chunk_file").to_pylist())
     removed = []
     for f in os.listdir(store.chunks_dir):
         p = os.path.join(store.chunks_dir, f)

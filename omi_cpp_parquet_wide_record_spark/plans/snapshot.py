@@ -141,9 +141,26 @@ class ChunkStore:
             out.update(t.column("run_id").to_pylist())
         return out
 
+    @staticmethod
+    def rewritten_pids_for(snap: dict | None, manifest_name: str
+                           ) -> set[int]:
+        """Pids whose rows in ``manifest_name`` were superseded by a
+        later pid-scoped rewrite in this snapshot's lineage: every pid p
+        with pid_rewrites[p] > the manifest's commit number. Readers
+        must drop those rows — the rewrite manifest holds their live
+        replacement."""
+        rw = (snap or {}).get("pid_rewrites") or {}
+        if not rw:
+            return set()
+        n_m = ChunkStore.manifest_commit_n(snap, manifest_name)
+        return {int(p) for p, rn in rw.items() if int(rn) > n_m}
+
     def manifest_table(self, snapshot: dict | None = None,
                        with_commit_n: bool = False) -> pa.Table:
-        """All manifest rows of a snapshot (default: the live one).
+        """All LIVE manifest rows of a snapshot (default: the live one)
+        — rows superseded by a pid-scoped rewrite are dropped here, so
+        every driver-side consumer (planning, metrics, pruning, GC's
+        per-snapshot liveness) sees the post-rewrite view.
 
         ``with_commit_n=True`` appends each row's manifest COMMIT number
         as an int32 ``commit_n`` column (from the snapshot's manifest_n
@@ -166,12 +183,21 @@ class ChunkStore:
                     t = t.append_column(
                         f.name, pa.nulls(t.num_rows, type=f.type))
             t = t.select(MANIFEST_SCHEMA.names)
+            dropped = self.rewritten_pids_for(snap, m)
+            if dropped:
+                import pyarrow.compute as pc
+                t = t.filter(pc.invert(pc.is_in(
+                    t.column("pid"),
+                    value_set=pa.array(sorted(dropped),
+                                       type=t.schema.field("pid").type))))
+            if t.num_rows == 0:
+                continue
             if with_commit_n:
                 n = self.manifest_commit_n(snap, m)
                 t = t.append_column("commit_n", pa.array(
                     [n] * t.num_rows, type=pa.int32()))
             tables.append(t)
-        return pa.concat_tables(tables)
+        return pa.concat_tables(tables) if tables else empty
 
     def arrow_schema(self, snapshot: dict | None = None) -> pa.Schema:
         snap = snapshot or self.current_snapshot()
@@ -187,7 +213,8 @@ class ChunkStore:
                run_id: str, stats: dict | None = None,
                replace: bool = False,
                new_pids: set[int] | None = None,
-               add_delete: tuple[pa.Table, str] | None = None) -> dict:
+               add_delete: tuple[pa.Table, str] | None = None,
+               rewrite_pids: set[int] | None = None) -> dict:
         """Append a manifest and flip the snapshot pointer atomically.
 
         ``manifest`` is either a driver-held Arrow table (written here as
@@ -210,6 +237,18 @@ class ChunkStore:
         rows appended here are exempt. One atomic pointer flip gives
         replace-by-key semantics with no intermediate deleted-but-not-
         replaced state ever visible to readers.
+
+        ``rewrite_pids`` marks this commit as a pid-scoped REWRITE
+        (Iceberg rewrite_data_files): the committed manifest holds the
+        compacted replacement for those work units, and the snapshot's
+        ``pid_rewrites`` map records {pid: this n} so readers drop each
+        rewritten pid's rows from every manifest committed BEFORE this
+        one — the same sequence-scoping deletes use, at pid granularity.
+        This commit's manifests are also recorded in
+        ``rewrite_manifests`` so INCREMENTAL readers (since_snapshot)
+        skip them: a rewrite reorganizes bytes, it appends no logical
+        rows (Iceberg's incremental scans skip replace snapshots the
+        same way).
         """
         import base64
         self.create()
@@ -254,6 +293,17 @@ class ChunkStore:
             },
             "committed_pids": sorted(committed),
             "delete_files": delete_files,
+            # pid-scoped rewrite epochs (JSON keys are strings) + the
+            # manifests incremental readers must skip
+            "pid_rewrites": {
+                **(parent.get("pid_rewrites", {}) if keep_parent else {}),
+                **({str(p): n for p in rewrite_pids} if rewrite_pids
+                   else {}),
+            },
+            "rewrite_manifests": (
+                (parent.get("rewrite_manifests", [])
+                 if keep_parent else [])
+                + (mnames if rewrite_pids else [])),
             "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),
             "stats": stats or {},
             # content hash of the encode/decode code that wrote this

@@ -97,9 +97,13 @@ class OwrcReader(DataSourceReader):
             if self._snapshot is not None else store.current_snapshot()
         if self._since is not None:
             base = store.snapshot_at(int(self._since))
-            seen = set(base["manifests"])
+            # skip pid-rewrite commits and read the ORIGINAL appended
+            # rows (same incremental semantics as decode_store)
+            seen = set(base["manifests"]) | set(
+                snap.get("rewrite_manifests", []))
             snap = {**snap, "manifests": [m for m in snap["manifests"]
-                                          if m not in seen]}
+                                          if m not in seen],
+                    "pid_rewrites": {}}
         manifest = store.manifest_table(snap)
         if self._zone_filters:
             files = prune_files(manifest, self._zone_filters)

@@ -1666,3 +1666,127 @@ def test_null_count_pruning(spark, tmp_path):
     sdf = spark.read.format("owrc").load(out)
     assert sdf.filter(F.col("v").isNull()).count() == 1000
     assert sdf.filter(F.col("v").isNotNull()).count() == 7000
+
+
+def test_rewrite_small_chunks_binpack(spark, tmp_path):
+    """rewrite_small_chunks (Iceberg rewrite_data_files binpack): three
+    streaming-sized commits fragment each pid into many small chunks; the
+    in-place rewrite coalesces them under ONE pid-scoped rewrite commit —
+    same rows, far fewer chunks, time travel intact, incremental readers
+    skip the rewrite and still see the original appends."""
+    import os
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        distributed_file_plan,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        rewrite_small_chunks,
+    )
+    out = str(tmp_path / "store")
+    for i in range(3):
+        encode_dataframe(
+            spark.range(i * 2000, (i + 1) * 2000).select(
+                F.col("id"), (F.col("id") * 3).alias("v")),
+            out, salt_key="id", num_pids=2, salt=1, chunk_rows=100,
+            resume=False)
+    store = ChunkStore(out)
+    n0 = store.current_snapshot()["n"]
+    res = rewrite_small_chunks(spark, out, target_rows=100000)
+    assert res["rewritten_pids"], res
+    assert res["chunks_after"] < res["chunks_before"] // 5, res
+    snap = store.current_snapshot()
+    assert snap["n"] == n0 + 1
+    # live read: identical rows, both planning modes, same file set
+    for planning in ("driver", "distributed"):
+        got = decode_store(spark, out, planning=planning)
+        assert got.count() == 6000
+        assert sorted(r.id for r in got.collect()) == list(range(6000))
+    m = store.manifest_table()
+    paths = [os.path.join(store.manifests_dir, x)
+             for x in snap["manifests"]]
+    drv = sorted(set(m.column("chunk_file").to_pylist()))
+    # distributed planning must exclude the rewritten-away rows too
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+        ChunkStore as CS,
+    )
+    dist = set()
+    for p, mn in zip(paths, snap["manifests"]):
+        dp = sorted(CS.rewritten_pids_for(snap, mn))
+        dist.update(r.chunk_file for r in distributed_file_plan(
+            spark, [p], None, drop_pids=dp).collect())
+    assert drv == sorted(dist)
+    # time travel: pre-rewrite snapshot still reads the ORIGINAL layout
+    old = decode_store(spark, out, snapshot=n0)
+    assert old.count() == 6000
+    # incremental read across the rewrite: only the later appends, no
+    # duplicates from the rewrite manifest
+    inc = decode_store(spark, out, since_snapshot=n0 - 1)
+    assert sorted(r.id for r in inc.collect()) == list(range(4000, 6000))
+
+
+def test_rewrite_materializes_deletes(spark, tmp_path):
+    """Rewritten chunks carry the rewrite commit's sequence number, which
+    EXEMPTS them from older equality deletes — so the rewrite must
+    materialize those deletes into the bytes, and a delete committed
+    AFTER the rewrite still applies."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows, rewrite_small_chunks,
+    )
+    out = str(tmp_path / "store")
+    for i in range(2):
+        encode_dataframe(
+            spark.range(i * 500, (i + 1) * 500).select(
+                F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("s")),
+            out, salt_key="id", num_pids=2, salt=1, chunk_rows=50,
+            resume=False)
+    delete_rows(out, spark.range(0, 100).select("id"), "id")
+    assert decode_store(spark, out).count() == 900
+    res = rewrite_small_chunks(spark, out, target_rows=100000)
+    assert res["rewritten_pids"]
+    got = decode_store(spark, out)
+    assert got.count() == 900
+    assert got.filter(F.col("id") < 100).count() == 0   # stays deleted
+    # post-rewrite delete applies to the rewritten chunks
+    delete_rows(out, spark.range(100, 150).select("id"), "id")
+    assert decode_store(spark, out).count() == 850
+    # re-insert after everything: visible (sequence scoping)
+    encode_dataframe(spark.range(0, 10).select(
+        F.col("id"), F.lit("new").alias("s")), out,
+        salt_key="id", num_pids=2, salt=1, resume=False)
+    assert decode_store(spark, out).count() == 860
+
+
+def test_rewrite_then_gc_reclaims_old_chunks(spark, tmp_path):
+    """After a pid-scoped rewrite, expire_snapshots(keep_last=1) reclaims
+    the fragmented old chunk files (no retained snapshot serves those
+    pids from them anymore); with the pre-rewrite snapshot retained they
+    survive for time travel."""
+    import os
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        rewrite_small_chunks,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    out = str(tmp_path / "store")
+    for i in range(3):
+        encode_dataframe(
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id"), (F.col("id") % 7).alias("g")),
+            out, salt_key="id", num_pids=2, salt=1, chunk_rows=100,
+            resume=False)
+    store = ChunkStore(out)
+    n_files_before = len(os.listdir(store.chunks_dir))
+    rewrite_small_chunks(spark, out, target_rows=100000)
+    # keep the pre-rewrite snapshot: old chunks must survive
+    expire_snapshots(store, keep_last=2)
+    assert decode_store(
+        spark, out, snapshot=store.current_snapshot()["n"] - 1
+    ).count() == 3000
+    # keep only the live snapshot: fragmented originals get reclaimed
+    rep = expire_snapshots(store, keep_last=1)
+    assert len(rep["removed_orphan_chunks"]) > 0
+    assert len(os.listdir(store.chunks_dir)) < n_files_before
+    got = decode_store(spark, out)
+    assert got.count() == 3000
+    assert sorted(r.id for r in got.collect()) == list(range(3000))
