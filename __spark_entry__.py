@@ -477,6 +477,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_store(s, out)
     q["o11_rewrite_binpack"] = _rewrite_binpack
 
+    def _schema_evolution(s, d):
+        """O12/O13 + rename/drop evolution (r5): encode four document
+        columns, then a metadata-only commit renames n_chars -> chars and
+        drops source. The live read resolves pre-rename chunks through
+        column aliases (zone maps included — the filter on the NEW name
+        prunes chunks written under the old one); the oracle is the
+        relational restatement (AS chars, source unselected)."""
+        import pyarrow.parquet as _pq
+        from omi_cpp_parquet_wide_record_spark.operators.decode import (
+            decode_store,
+        )
+        from omi_cpp_parquet_wide_record_spark.operators.encode import (
+            encode_dataframe,
+        )
+        from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+            evolve_schema,
+        )
+        _tune(s)
+        n_src = _pq.ParquetFile(
+            os.path.join(d, "documents.parquet")).metadata.num_rows
+        out = _store_path(d, "documents", ["evolve"], {}, "ev1")
+        if not _store_valid(out, n_src, n_snapshots=2):
+            shutil.rmtree(out, ignore_errors=True)
+            docs = _read(s, d, "documents").select(
+                "doc_id", "lang", "source", "n_chars")
+            encode_dataframe(docs, out, salt_key="doc_id", num_pids=4,
+                             chunk_rows=64, sort_by=["doc_id"])
+            evolve_schema(out, rename={"n_chars": "chars"},
+                          drop=["source"])
+        return decode_store(s, out, filters=[("chars", "<", 300)])
+    q["schema_evolution_scan"] = _schema_evolution
+
     def _zorder_scan(s, d):
         """O11/O13 + multi-column layout (r5 zorder): the store is written
         with the Morton interleave of (doc_id, n_chars), so zone maps
@@ -1012,6 +1044,12 @@ def oracle_sql() -> dict[str, str]:
     # commit thirds cover it exactly)
     sql["o11_rewrite_binpack"] = \
         "SELECT doc_id, lang, n_chars FROM documents"
+
+    # rename/drop evolution relationally: the renamed column is an AS,
+    # the dropped column is simply unselected
+    sql["schema_evolution_scan"] = (
+        "SELECT doc_id, lang, n_chars AS chars FROM documents "
+        "WHERE n_chars < 300")
 
     # layout-independent view of the z-ordered store: a plain filter
     sql["zorder_pruned_scan"] = (

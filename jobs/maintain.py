@@ -41,6 +41,12 @@ def main() -> int:
                          "fraction of --target-rows")
     rw.add_argument("--pids", nargs="*", type=int, default=None)
     rw.add_argument("--sort-by", nargs="*", default=None)
+    ev = sub.add_parser("evolve")
+    ev.add_argument("--drop", nargs="*", default=None)
+    ev.add_argument("--rename", nargs="*", default=None,
+                    metavar="OLD=NEW",
+                    help="rename columns (metadata-only; old chunks "
+                         "resolve through aliases at read time)")
     c = sub.add_parser("compact")
     c.add_argument("--output", required=True)
     c.add_argument("--salt-key", default=None)
@@ -67,6 +73,21 @@ def main() -> int:
         from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
         print(json.dumps(expire_snapshots(store, keep_last=args.keep_last,
                                           older_than_s=args.older_than)))
+        return 0
+
+    if args.cmd == "evolve":
+        # metadata-only commit: no Spark session needed
+        from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+            evolve_schema,
+        )
+        rename = {}
+        for spec in (args.rename or []):
+            if "=" not in spec:
+                raise SystemExit(f"--rename takes OLD=NEW, got {spec!r}")
+            old, new = spec.split("=", 1)
+            rename[old] = new
+        print(json.dumps(evolve_schema(args.store, drop=args.drop,
+                                       rename=rename or None)))
         return 0
 
     from omi_cpp_parquet_wide_record_spark.session import get_spark

@@ -59,6 +59,44 @@ def read_chunk_file(path: str, columns: list[str] | None = None,
     return pa.table(dict(zip(names, arrays)))
 
 
+def read_chunk_table(path: str, schema: pa.Schema,
+                     aliases: dict[str, list[str]] | None = None,
+                     check_sha: bool = False) -> pa.Table:
+    """Read one chunk file INTO a target (live) schema, applying the
+    snapshot's schema-evolution semantics:
+
+    - rename: a chunk written before a column was renamed carries the
+      retired physical name; it is decoded under that name and relabeled
+      to the live one (``aliases``: live -> retired names). Name reuse is
+      blocked at evolve time, so the resolution is unambiguous.
+    - add-column: columns added after the chunk committed null-fill
+      (Iceberg's read-time null-fill for added fields).
+    - drop: a dropped column simply isn't in ``schema`` — its bytes stay
+      in old chunks (readable via time travel) but are never decoded.
+    """
+    want = list(schema.names)
+    old_names = [o for c in want for o in (aliases or {}).get(c, [])]
+    t = read_chunk_file(path, columns=want + old_names,
+                        check_sha=check_sha)
+    if old_names:
+        present = set(t.schema.names)
+        relabel = {}
+        for live in want:
+            if live in present:
+                continue
+            for old in (aliases or {}).get(live, []):
+                if old in present:
+                    relabel[old] = live
+                    break
+        if relabel:
+            t = t.rename_columns([relabel.get(n, n)
+                                  for n in t.schema.names])
+    for f in schema:
+        if f.name not in t.schema.names:
+            t = t.append_column(f.name, pa.nulls(t.num_rows, type=f.type))
+    return t.select(schema.names).cast(schema)
+
+
 def _nullable_type(t: pa.DataType) -> pa.DataType:
     """Recursively rewrite nested fields nullable: the merged read view is
     nullable at every level (codec decode rebuilds nested arrays with
@@ -363,7 +401,8 @@ def _bloom_absent_multi_udf(literals: dict[str, list[list]]):
 
 def distributed_file_plan(spark: SparkSession, paths: list[str],
                           filters: list[tuple[str, str, object]] | None,
-                          drop_pids: list[int] | None = None
+                          drop_pids: list[int] | None = None,
+                          aliases: dict[str, list[str]] | None = None
                           ) -> DataFrame:
     """Chunk-file list as a Spark plan — manifests are read as data, the
     driver never materializes the list. Zone pruning runs as an anti-join
@@ -382,6 +421,15 @@ def distributed_file_plan(spark: SparkSession, paths: list[str],
         # given pids were superseded by a later rewrite commit (bounded
         # by num_pids — an isin literal, no join)
         mdf = mdf.filter(~F.col("pid").isin([int(p) for p in drop_pids]))
+    if aliases:
+        # schema evolution: canonicalize retired physical names to live
+        # names so pre-rename chunks keep pruning (same normalization
+        # driver planning gets from manifest_table)
+        expr = F.col("column")
+        for live, olds in aliases.items():
+            expr = F.when(F.col("column").isin(list(olds)),
+                          F.lit(live)).otherwise(expr)
+        mdf = mdf.withColumn("column", expr)
     fdf = mdf.select("chunk_file").distinct()
     if not filters or "stat_min" not in mdf.columns:
         return fdf
@@ -554,15 +602,24 @@ def decode_store(spark: SparkSession, out_dir: str,
                               if m not in seen],
                 "pid_rewrites": {}}
     schema = store.arrow_schema(snap)
+    # schema evolution (rename): chunks and delete files written before a
+    # rename carry retired physical names; aliases resolve them to live
+    # names at read time (the snapshot's own aliases for time travel)
+    aliases = ChunkStore.alias_map(snap)
+    _live_of = {old: live for live, olds in aliases.items()
+                for old in olds}
     # merge-on-read deletes must apply regardless of the requested
     # projection: decode the delete-key columns too, anti-join, and drop
-    # them again before returning
+    # them again before returning. A delete file's key is its PHYSICAL
+    # column name at delete time — resolve to the live name (live_key)
+    # for the join; the parquet read aliases physical -> live.
     # dict.fromkeys dedupes: several delete files often share one key
     # column, and a duplicated name in decode_cols makes the mapInArrow
     # schema ambiguous downstream
-    deletes = [d for d in store.delete_files(snap)
-               if d["key"] in schema.names]
-    delete_keys = list(dict.fromkeys(d["key"] for d in deletes))
+    deletes = [{**d, "live_key": _live_of.get(d["key"], d["key"])}
+               for d in store.delete_files(snap)
+               if _live_of.get(d["key"], d["key"]) in schema.names]
+    delete_keys = list(dict.fromkeys(d["live_key"] for d in deletes))
     if columns is not None:
         # filter columns decode too (then drop with the delete keys in
         # the final projection): Iceberg semantics let a filter reference
@@ -619,17 +676,10 @@ def decode_store(spark: SparkSession, out_dir: str,
     def task(batches):
         for b in batches:
             for fname in b.column("chunk_file").to_pylist():
-                t = read_chunk_file(os.path.join(chunks_dir, fname),
-                                    columns=list(schema.names),
-                                    check_sha=check_sha)
-                # schema evolution (add-column): chunks committed before a
-                # column existed decode as nulls for it — Iceberg's
-                # read-time null-fill for added fields
-                for f in schema:
-                    if f.name not in t.schema.names:
-                        t = t.append_column(
-                            f.name, pa.nulls(t.num_rows, type=f.type))
-                t = t.select(schema.names).cast(schema)
+                # alias-aware read: rename resolution, add-column
+                # null-fill, and the live-schema projection in one place
+                t = read_chunk_table(os.path.join(chunks_dir, fname),
+                                     schema, aliases, check_sha=check_sha)
                 yield from t.to_batches()
 
     def scan(file_subset: list[str]) -> DataFrame:
@@ -655,7 +705,7 @@ def decode_store(spark: SparkSession, out_dir: str,
     _delete_keys_df = [
         (d, spark.read.parquet(
             os.path.join(store.deletes_dir, d["file"]))
-         .select(d["key"]).distinct())
+         .select(F.col(d["key"]).alias(d["live_key"])).distinct())
         for d in deletes]
 
     def apply_deletes(df: DataFrame, epoch: int | None) -> DataFrame:
@@ -663,7 +713,7 @@ def decode_store(spark: SparkSession, out_dir: str,
             if epoch is not None and d.get("n") is not None \
                     and epoch >= int(d["n"]):
                 continue   # data committed at/after the delete: not scoped
-            df = df.join(F.broadcast(keys), d["key"], "left_anti")
+            df = df.join(F.broadcast(keys), d["live_key"], "left_anti")
         return df
 
     def scan_df(fdf: DataFrame) -> DataFrame:
@@ -674,7 +724,8 @@ def decode_store(spark: SparkSession, out_dir: str,
     def _distributed_files(paths: list[str],
                            drop_pids: frozenset = frozenset()) -> DataFrame:
         return distributed_file_plan(spark, paths, filters,
-                                     drop_pids=sorted(drop_pids))
+                                     drop_pids=sorted(drop_pids),
+                                     aliases=aliases)
 
     # pid-scoped rewrites (Iceberg rewrite_data_files): manifests older
     # than a pid's rewrite commit must drop that pid's rows — driver

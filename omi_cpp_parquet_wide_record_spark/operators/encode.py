@@ -540,6 +540,18 @@ def encode_dataframe(
         if upsert_key not in df.columns:
             raise ValueError(f"upsert_key {upsert_key!r} is not a column "
                              f"of the batch ({df.columns})")
+    prior = store.current_snapshot()
+    if prior is not None:
+        # schema evolution: a name ever dropped or renamed-away may not
+        # come back — old chunks still carry it physically, so reuse
+        # would make alias resolution ambiguous (the reason Iceberg has
+        # field ids)
+        bad = set(prior.get("retired_names", [])) & set(df.columns)
+        if bad:
+            raise ValueError(
+                f"column name(s) {sorted(bad)} were retired by a schema "
+                "evolution (dropped or renamed away) and cannot be "
+                "reused; pick a fresh name")
     if num_pids is None:
         num_pids = max(spark.sparkContext.defaultParallelism * 8, 8)
 

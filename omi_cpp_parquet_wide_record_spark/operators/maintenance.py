@@ -77,6 +77,96 @@ def compact_store(spark: SparkSession, store_dir: str, out_dir: str,
             "chunks": ChunkStore(out_dir).metrics()["chunks"]}
 
 
+def evolve_schema(store_dir: str, drop: list[str] | None = None,
+                  rename: dict[str, str] | None = None,
+                  run_id: str | None = None) -> dict:
+    """Iceberg schema evolution beyond add-column: RENAME and DROP as a
+    metadata-only commit — zero bytes rewritten at any table size.
+
+    - ``rename={"old": "new"}``: the live schema carries the new name;
+      chunks written before the rename keep their physical name and are
+      resolved through the snapshot's ``column_aliases`` at read time
+      (zone-map/bloom pruning included — the manifest view canonicalizes
+      names). New appends write the new name. Same-type only.
+    - ``drop=["col"]``: the column leaves the live schema; its bytes stay
+      in existing chunks (time travel still reads them) and are never
+      decoded by live reads. Compaction/rewrite physically sheds them.
+
+    Retired names (dropped or renamed-away) can never be reused — chunks
+    still carry them physically, so reuse would make alias resolution
+    ambiguous. This is the name-based stand-in for Iceberg's field ids,
+    enforced here and at encode time. Dropping the key column of a live
+    equality-delete file is rejected (readers could no longer apply the
+    delete); compact first.
+
+    Time travel semantics: each snapshot reads with ITS OWN schema and
+    aliases, so pre-evolution snapshots see pre-evolution names.
+    """
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    store = ChunkStore(store_dir)
+    snap = store.current_snapshot()
+    if snap is None:
+        raise FileNotFoundError(f"no committed snapshot under {store_dir}")
+    schema = store.arrow_schema(snap)
+    drop = list(drop or [])
+    rename = dict(rename or {})
+    if not drop and not rename:
+        raise ValueError("evolve_schema: nothing to do "
+                         "(pass drop= and/or rename=)")
+    names = set(schema.names)
+    retired = set(snap.get("retired_names", []))
+    for c in drop:
+        if c not in names:
+            raise ValueError(f"cannot drop {c!r}: not a live column "
+                             f"(schema: {sorted(names)})")
+    for old, new in rename.items():
+        if old not in names:
+            raise ValueError(f"cannot rename {old!r}: not a live column")
+        if old in drop:
+            raise ValueError(f"{old!r} is both dropped and renamed")
+        if new in names or new in retired \
+                or list(rename.values()).count(new) > 1:
+            # includes swap attempts ({a: b, b: a}): a physical name may
+            # resolve to at most ONE live column, ever
+            raise ValueError(
+                f"rename target {new!r} collides with a live or retired "
+                "column name (names are never reused)")
+    # a live delete file whose key is dropped could no longer apply
+    aliases = ChunkStore.alias_map(snap)
+    _live_of = {o: l for l, olds in aliases.items() for o in olds}
+    for d in store.delete_files(snap):
+        lk = _live_of.get(d["key"], d["key"])
+        if lk in drop:
+            raise ValueError(
+                f"cannot drop {lk!r}: it is the key of live equality-"
+                f"delete file {d['file']} — compact the store first")
+
+    fields, new_aliases = [], dict(aliases)
+    for f in schema:
+        if f.name in drop:
+            # physical names this live column ever had are all retired
+            retired.update(new_aliases.pop(f.name, []) + [f.name])
+            continue
+        if f.name in rename:
+            new = rename[f.name]
+            new_aliases[new] = new_aliases.pop(f.name, []) + [f.name]
+            retired.add(f.name)
+            fields.append(pa.field(new, f.type, nullable=f.nullable))
+        else:
+            fields.append(f)
+    new_schema = pa.schema(fields)
+    committed = store.commit([], new_schema,
+                             run_id or _uuid.uuid4().hex,
+                             new_pids=set(),
+                             column_aliases=new_aliases,
+                             retired_names=sorted(retired))
+    return {"snapshot": committed["n"], "schema": new_schema.names,
+            "dropped": drop, "renamed": rename}
+
+
 def rewrite_small_chunks(spark: SparkSession, store_dir: str,
                          target_rows: int = 65536,
                          min_avg_frac: float = 0.5,
@@ -155,20 +245,25 @@ def rewrite_small_chunks(spark: SparkSession, store_dir: str,
     for v in per_pid.values():
         v.sort(key=lambda t: (t[1], t[0]))
 
+    # delete-file keys are physical names at delete time; resolve to the
+    # live name for filtering the alias-resolved (live-named) tables
+    aliases = ChunkStore.alias_map(snap)
+    _live_of = {old: live for live, olds in aliases.items()
+                for old in olds}
     deletes = [(os.path.join(store.deletes_dir, d["file"]), d["key"],
+                _live_of.get(d["key"], d["key"]),
                 int(d["n"]) if d.get("n") is not None else None)
                for d in store.delete_files(snap)
-               if d["key"] in schema.names]
+               if _live_of.get(d["key"], d["key"]) in schema.names]
     run_id = uuid.uuid4().hex
     chunks_dir, manifests_dir = store.chunks_dir, store.manifests_dir
-    col_names = list(schema.names)
     schema_ipc = schema.serialize().to_pybytes()
 
     def task(batches):
         from pyspark import TaskContext
 
         from omi_cpp_parquet_wide_record_spark.operators.decode import (
-            read_chunk_file,
+            read_chunk_table,
         )
         tc = TaskContext.get()
         tag = (f"{run_id[:8]}-rw{tc.taskAttemptId() if tc else 0}-"
@@ -181,24 +276,21 @@ def rewrite_small_chunks(spark: SparkSession, store_dir: str,
                                      b.column("files").to_pylist()):
                 parts = []
                 for fname, n_f in _json.loads(files_js):
-                    t = read_chunk_file(os.path.join(chunks_dir, fname),
-                                        columns=col_names)
-                    for fld in sch:      # add-column null-fill
-                        if fld.name not in t.schema.names:
-                            t = t.append_column(
-                                fld.name, pa.nulls(t.num_rows,
-                                                   type=fld.type))
-                    t = t.select(sch.names).cast(sch)
+                    # alias-aware read: pre-rename chunks decode their
+                    # retired names into the live schema (the rewrite
+                    # physically migrates them to live names)
+                    t = read_chunk_table(os.path.join(chunks_dir, fname),
+                                         sch, aliases)
                     # MATERIALIZE merge-on-read deletes: the rewritten
                     # chunks carry this commit's n, which EXEMPTS them
                     # from older deletes — so those deletes must be
                     # applied to the bytes now
-                    for dpath, key, dn in deletes:
+                    for dpath, key, live_key, dn in deletes:
                         if dn is not None and n_f >= dn:
                             continue     # delete doesn't scope this chunk
                         keys = pq.read_table(dpath, columns=[key])
                         t = t.filter(pc.invert(pc.is_in(
-                            t.column(key), value_set=keys.column(key)
+                            t.column(live_key), value_set=keys.column(key)
                             .combine_chunks())))
                     if t.num_rows:
                         parts.append(t)

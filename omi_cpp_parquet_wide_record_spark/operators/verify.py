@@ -51,7 +51,16 @@ def _comparable(df: DataFrame, cols: list[str], prefix: str) -> DataFrame:
 
 def verify_roundtrip(original: DataFrame, decoded: DataFrame,
                      key: str) -> VerifyResult:
-    cols = [c for c in original.columns]
+    # compare the column intersection: a store whose schema has evolved
+    # (renamed/dropped columns) still verifies on the shared columns
+    # instead of KeyError-ing; missing ones are reported as -1 so the
+    # caller can't mistake "skipped" for "verified"
+    cols = [c for c in original.columns if c in decoded.columns]
+    skipped = [c for c in original.columns if c not in decoded.columns]
+    if key not in cols:
+        raise ValueError(
+            f"verify key {key!r} is not a column of both sides "
+            f"(original: {original.columns}, decoded: {decoded.columns})")
     o = _comparable(original, cols, "o").withColumn("__o", F.lit(1))
     d = _comparable(decoded, cols, "d").withColumn("__d", F.lit(1))
     # eqNullSafe join: null keys still pair up (a bare == would silently
@@ -80,10 +89,13 @@ def verify_roundtrip(original: DataFrame, decoded: DataFrame,
     d_pairs = int(row.pop("__d_pairs") or 0)
     joined_n = int(row.pop("__joined") or 0)
     o_keys = int(row.pop("__o_keys") or 0)
+    mism = {k: int(v or 0) for k, v in row.items()}
+    for c in skipped:
+        mism[c] = -1     # not present on the decoded side: skipped
     return VerifyResult(
         rows_expected=o_pairs,
         rows_decoded=d_pairs,
         rows_joined=joined_n,
-        mismatches={k: int(v or 0) for k, v in row.items()},
+        mismatches=mism,
         duplicate_key_rows=max(o_pairs - o_keys, 0),
     )

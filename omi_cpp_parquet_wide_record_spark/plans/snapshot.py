@@ -142,6 +142,28 @@ class ChunkStore:
         return out
 
     @staticmethod
+    def alias_map(snap: dict | None) -> dict[str, list[str]]:
+        """Schema-evolution aliases: {live column name: [retired physical
+        names, oldest first]}. A chunk written before a rename carries a
+        retired name; readers resolve it to the live name. Name reuse is
+        blocked at evolve time (``retired_names``), so a physical name
+        maps to at most one live column — the poor man's Iceberg field
+        id."""
+        return {k: list(v)
+                for k, v in ((snap or {}).get("column_aliases") or {})
+                .items()}
+
+    @staticmethod
+    def live_name_of(snap: dict | None, physical: str) -> str:
+        """The live column name a physical (chunk/delete-file) column
+        resolves to under this snapshot's aliases — itself if never
+        renamed."""
+        for live, olds in ChunkStore.alias_map(snap).items():
+            if physical in olds:
+                return live
+        return physical
+
+    @staticmethod
     def rewritten_pids_for(snap: dict | None, manifest_name: str
                            ) -> set[int]:
         """Pids whose rows in ``manifest_name`` were superseded by a
@@ -197,7 +219,27 @@ class ChunkStore:
                 t = t.append_column("commit_n", pa.array(
                     [n] * t.num_rows, type=pa.int32()))
             tables.append(t)
-        return pa.concat_tables(tables) if tables else empty
+        if not tables:
+            return empty
+        out = pa.concat_tables(tables)
+        # schema evolution: canonicalize retired physical column names to
+        # their live names, so every driver-side consumer (zone/bloom/null
+        # pruning, metrics, rewrite selection) sees ONE logical column per
+        # live name — pre-rename chunks keep pruning after the rename
+        aliases = self.alias_map(snap)
+        if aliases:
+            import pyarrow.compute as pc
+            col = out.column("column")
+            for live, olds in aliases.items():
+                col = pc.if_else(
+                    pc.is_in(col, value_set=pa.array(olds)),
+                    pa.scalar(live), col)
+            out = out.set_column(out.schema.get_field_index("column"),
+                                 out.schema.field("column"),
+                                 col.combine_chunks()
+                                 if isinstance(col, pa.ChunkedArray)
+                                 else col)
+        return out
 
     def arrow_schema(self, snapshot: dict | None = None) -> pa.Schema:
         snap = snapshot or self.current_snapshot()
@@ -214,7 +256,9 @@ class ChunkStore:
                replace: bool = False,
                new_pids: set[int] | None = None,
                add_delete: tuple[pa.Table, str] | None = None,
-               rewrite_pids: set[int] | None = None) -> dict:
+               rewrite_pids: set[int] | None = None,
+               column_aliases: dict[str, list[str]] | None = None,
+               retired_names: list[str] | None = None) -> dict:
         """Append a manifest and flip the snapshot pointer atomically.
 
         ``manifest`` is either a driver-held Arrow table (written here as
@@ -249,6 +293,11 @@ class ChunkStore:
         skip them: a rewrite reorganizes bytes, it appends no logical
         rows (Iceberg's incremental scans skip replace snapshots the
         same way).
+
+        ``column_aliases`` / ``retired_names`` replace the carried-forward
+        schema-evolution state (set by ``evolve_schema`` when a commit
+        renames or drops columns); by default both carry over from the
+        parent unchanged.
         """
         import base64
         self.create()
@@ -304,6 +353,16 @@ class ChunkStore:
                 (parent.get("rewrite_manifests", [])
                  if keep_parent else [])
                 + (mnames if rewrite_pids else [])),
+            # schema-evolution state: live-name -> retired physical names,
+            # and every name ever renamed-away or dropped (reuse blocked)
+            "column_aliases": (
+                column_aliases if column_aliases is not None
+                else (parent.get("column_aliases", {})
+                      if keep_parent else {})),
+            "retired_names": (
+                retired_names if retired_names is not None
+                else (parent.get("retired_names", [])
+                      if keep_parent else [])),
             "schema_ipc": base64.b64encode(schema.serialize().to_pybytes()).decode(),
             "stats": stats or {},
             # content hash of the encode/decode code that wrote this

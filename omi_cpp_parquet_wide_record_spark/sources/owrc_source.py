@@ -38,11 +38,16 @@ _DELETE_KEY_CACHE: dict = {}
 
 
 class OwrcInputPartition(InputPartition):
-    def __init__(self, path: str, deletes: list[tuple[str, str]] = ()):  # noqa: B006
+    def __init__(self, path: str, deletes: list[tuple[str, str, str]] = (),  # noqa: B006
+                 aliases: dict[str, list[str]] | None = None):
         self.path = path
-        # [(delete_file_path, key_col), ...] applicable to THIS chunk's
-        # commit epoch (sequence-scoped, matching decode_store semantics)
+        # [(delete_file_path, physical_key_col, live_key_col), ...]
+        # applicable to THIS chunk's commit epoch (sequence-scoped,
+        # matching decode_store semantics)
         self.deletes = list(deletes)
+        # schema-evolution aliases of the snapshot being read:
+        # {live column name: [retired physical names]}
+        self.aliases = dict(aliases or {})
 
 
 class OwrcReader(DataSourceReader):
@@ -119,7 +124,12 @@ class OwrcReader(DataSourceReader):
                 for fname in set(t.column("chunk_file").to_pylist()):
                     commit_n.setdefault(fname, n_m)
 
-        def applicable(fname: str) -> list[tuple[str, str]]:
+        # rename evolution: delete-file keys are physical names at delete
+        # time; resolve to live names for filtering alias-resolved tables
+        aliases = ChunkStore.alias_map(snap)
+        _live_of = {o: l for l, olds in aliases.items() for o in olds}
+
+        def applicable(fname: str) -> list[tuple[str, str, str]]:
             # a delete committed at snapshot n applies only to chunks
             # from earlier commits (Iceberg sequence-number scoping),
             # mirroring decode_store
@@ -129,11 +139,11 @@ class OwrcReader(DataSourceReader):
                         commit_n.get(fname, 0) >= int(d["n"]):
                     continue
                 out.append((os.path.join(store.deletes_dir, d["file"]),
-                            d["key"]))
+                            d["key"], _live_of.get(d["key"], d["key"])))
             return out
 
         return [OwrcInputPartition(os.path.join(store.chunks_dir, f),
-                                   applicable(f))
+                                   applicable(f), aliases)
                 for f in files]
 
     def read(self, partition: OwrcInputPartition):
@@ -144,16 +154,34 @@ class OwrcReader(DataSourceReader):
             read_chunk_file,
         )
         cols = [f.name for f in self.schema.fields]
-        del_keys = [k for _, k in partition.deletes if k not in cols]
+        del_keys = [lk for _, _, lk in partition.deletes if lk not in cols]
+        want = cols + del_keys
+        aliases = partition.aliases
+        old_names = [o for c in want for o in aliases.get(c, [])]
         table = read_chunk_file(partition.path,
-                                columns=cols + del_keys)
+                                columns=want + old_names)
+        # rename evolution: chunks written before a rename carry retired
+        # physical names — relabel them to the live names
+        if old_names:
+            present = set(table.schema.names)
+            relabel = {}
+            for live in want:
+                if live in present:
+                    continue
+                for old in aliases.get(live, []):
+                    if old in present:
+                        relabel[old] = live
+                        break
+            if relabel:
+                table = table.rename_columns(
+                    [relabel.get(n, n) for n in table.schema.names])
         # merge-on-read equality deletes (sequence-scoped in partitions()).
         # Delete-key arrays cache per python worker: every chunk partition
         # applies the same few delete files, and delete files are
         # immutable (uuid-named), so without the cache a store with F
         # chunks and D deletes performs F x D parquet reads per scan.
-        for dpath, key in partition.deletes:
-            if key not in table.schema.names:
+        for dpath, key, live_key in partition.deletes:
+            if live_key not in table.schema.names:
                 continue     # chunk predates the key column: nothing matches
             ck = (dpath, key)
             if ck not in _DELETE_KEY_CACHE:
@@ -162,7 +190,7 @@ class OwrcReader(DataSourceReader):
                 _DELETE_KEY_CACHE[ck] = pq.read_table(
                     dpath, columns=[key]).column(key).combine_chunks()
             table = table.filter(
-                pc.invert(pc.is_in(table.column(key),
+                pc.invert(pc.is_in(table.column(live_key),
                                    value_set=_DELETE_KEY_CACHE[ck])))
         # schema evolution: null-fill columns added after this chunk
         # committed (same read-time semantics as decode_store)
@@ -248,8 +276,19 @@ class OwrcArrowWriter(DataSourceArrowWriter):
         rows = [r for m in messages for r in m.rows]
         cols = {f.name: [r[f.name] for r in rows] for f in MANIFEST_SCHEMA}
         manifest = pa.Table.from_pydict(cols, schema=MANIFEST_SCHEMA)
-        ChunkStore(self.root).commit(manifest, to_arrow_schema(self.schema),
-                                     self.run_id, replace=self.overwrite)
+        store = ChunkStore(self.root)
+        prior = store.current_snapshot()
+        if prior is not None and not self.overwrite:
+            # retired names (schema evolution) can never be reused —
+            # same guard as encode_dataframe
+            bad = set(prior.get("retired_names", [])) & \
+                {f.name for f in self.schema.fields}
+            if bad:
+                raise ValueError(
+                    f"column name(s) {sorted(bad)} were retired by a "
+                    "schema evolution and cannot be reused")
+        store.commit(manifest, to_arrow_schema(self.schema),
+                     self.run_id, replace=self.overwrite)
 
     def abort(self, messages):
         # nothing to undo: the pointer never flipped, so the written chunk

@@ -1790,3 +1790,167 @@ def test_rewrite_then_gc_reclaims_old_chunks(spark, tmp_path):
     got = decode_store(spark, out)
     assert got.count() == 3000
     assert sorted(r.id for r in got.collect()) == list(range(3000))
+
+
+def test_evolve_rename_and_drop(spark, tmp_path):
+    """Schema evolution beyond add-column (Iceberg rename/drop as a
+    metadata-only commit): pre-rename chunks resolve through column
+    aliases at read time, filters on the new name still prune them,
+    appends after the rename write the new name, time travel keeps the
+    old names, and retired names can never come back."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        evolve_schema,
+    )
+    out = str(tmp_path / "store")
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") * 2).alias("a"),
+        F.concat(F.lit("v"), F.col("id")).alias("b"))
+    encode_dataframe(df, out, salt_key="id", num_pids=4, chunk_rows=100,
+                     resume=False, sort_by=["id"])
+    res = evolve_schema(out, rename={"a": "x"}, drop=["b"])
+    assert res["schema"] == ["id", "x"]
+    store = ChunkStore(out)
+    n_evolved = store.current_snapshot()["n"]
+
+    # live read resolves old chunks through aliases; dropped col is gone
+    for planning in ("driver", "distributed"):
+        got = decode_store(spark, out, planning=planning)
+        assert got.columns == ["id", "x"]
+        assert got.count() == 2000
+        assert got.filter(F.col("x") != F.col("id") * 2).count() == 0
+
+    # zone maps keep pruning on the NEW name for pre-rename chunks
+    pruned = decode_store(spark, out, filters=[("x", "<", 100)])
+    assert sorted(r.id for r in pruned.collect()) == list(range(50))
+    files_all = set(store.manifest_table().column("chunk_file").to_pylist())
+    from omi_cpp_parquet_wide_record_spark.operators.decode import (
+        prune_files,
+    )
+    kept = prune_files(store.manifest_table(), [("x", "<", 100)])
+    assert len(kept) < len(files_all)
+
+    # append AFTER the rename: new chunks carry the new physical name
+    encode_dataframe(
+        spark.range(2000, 2500).select(
+            F.col("id"), (F.col("id") * 2).alias("x")),
+        out, salt_key="id", num_pids=4, resume=False)
+    got = decode_store(spark, out)
+    assert got.count() == 2500
+    assert got.filter(F.col("x") != F.col("id") * 2).count() == 0
+
+    # owrc DataSource read resolves aliases the same way
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    spark.dataSource.register(OwrcDataSource)
+    sdf = spark.read.format("owrc").load(out)
+    assert sorted(sdf.columns) == ["id", "x"]
+    assert sdf.filter(F.col("x") != F.col("id") * 2).count() == 0
+
+    # time travel: the pre-evolution snapshot keeps its names
+    old = decode_store(spark, out, snapshot=n_evolved - 1)
+    assert old.columns == ["id", "a", "b"]
+    assert old.count() == 2000
+
+    # retired names never come back (encode AND owrc write)
+    with pytest.raises(ValueError, match="retired"):
+        encode_dataframe(
+            spark.range(0, 10).select(F.col("id"), F.lit(1).alias("a")),
+            out, salt_key="id", resume=False)
+    with pytest.raises(Exception, match="retired"):
+        spark.range(0, 10).select(
+            F.col("id"), F.lit(1).alias("b")
+        ).write.format("owrc").mode("append").save(out)
+
+
+def test_evolve_guards(spark, tmp_path):
+    """Ambiguity guards: swaps, collisions with live or retired names,
+    unknown columns, and dropping a live delete key are all rejected."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows, evolve_schema,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 200).select(
+            F.col("id"), (F.col("id") % 5).alias("g"),
+            F.concat(F.lit("s"), F.col("id")).alias("s")),
+        out, salt_key="id", num_pids=2, resume=False)
+    with pytest.raises(ValueError, match="collides"):
+        evolve_schema(out, rename={"g": "s", "s": "g"})   # swap
+    with pytest.raises(ValueError, match="collides"):
+        evolve_schema(out, rename={"g": "id"})
+    with pytest.raises(ValueError, match="not a live column"):
+        evolve_schema(out, drop=["nope"])
+    with pytest.raises(ValueError, match="nothing to do"):
+        evolve_schema(out)
+    delete_rows(out, spark.range(0, 5).select("id"), "id")
+    with pytest.raises(ValueError, match="delete"):
+        evolve_schema(out, drop=["id"])
+    evolve_schema(out, rename={"s": "t"})
+    with pytest.raises(ValueError, match="collides"):
+        evolve_schema(out, rename={"g": "s"})   # retired name reuse
+
+
+def test_evolve_delete_key_rename(spark, tmp_path):
+    """A delete committed BEFORE a key rename still applies after it
+    (the delete file keeps the physical name; readers resolve it), and
+    deletes by the new name work on pre-rename chunks."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows, evolve_schema,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")),
+        out, salt_key="k", num_pids=2, chunk_rows=100, resume=False)
+    delete_rows(out, spark.range(0, 100).select(F.col("id").alias("k")),
+                "k")
+    evolve_schema(out, rename={"k": "key"})
+    for planning in ("driver", "distributed"):
+        got = decode_store(spark, out, planning=planning)
+        assert got.columns == ["key", "v"]
+        assert got.count() == 900
+        assert got.filter(F.col("key") < 100).count() == 0
+    # owrc source applies the pre-rename delete too
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    spark.dataSource.register(OwrcDataSource)
+    sdf = spark.read.format("owrc").load(out)
+    assert sdf.count() == 900
+    # delete by the NEW name reaches pre-rename chunks
+    delete_rows(out, spark.range(100, 150).select(F.col("id").alias("key")),
+                "key")
+    assert decode_store(spark, out).count() == 850
+
+
+def test_evolve_then_rewrite_migrates_names(spark, tmp_path):
+    """The binpack rewrite physically migrates pre-rename chunks to the
+    live names (and sheds dropped columns): after rewrite, the chunk
+    footers carry only live names and reads are unchanged."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        evolve_schema, rewrite_small_chunks,
+    )
+    out = str(tmp_path / "store")
+    for i in range(2):
+        encode_dataframe(
+            spark.range(i * 500, (i + 1) * 500).select(
+                F.col("id"), (F.col("id") * 2).alias("a"),
+                F.lit("junk").alias("z")),
+            out, salt_key="id", num_pids=2, chunk_rows=50, resume=False)
+    evolve_schema(out, rename={"a": "x"}, drop=["z"])
+    res = rewrite_small_chunks(spark, out, target_rows=100000)
+    assert res["rewritten_pids"]
+    store = ChunkStore(out)
+    # every live chunk footer now carries live names only
+    m = store.manifest_table()
+    for f in set(m.column("chunk_file").to_pylist()):
+        t = read_chunk_file(os.path.join(store.chunks_dir, f))
+        assert sorted(t.schema.names) == ["id", "x"], f
+    got = decode_store(spark, out)
+    assert got.count() == 1000
+    assert got.filter(F.col("x") != F.col("id") * 2).count() == 0
