@@ -41,6 +41,14 @@ def main() -> int:
                          "fraction of --target-rows")
     rw.add_argument("--pids", nargs="*", type=int, default=None)
     rw.add_argument("--sort-by", nargs="*", default=None)
+    tg = sub.add_parser("tag")
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--snapshot", type=int, default=None,
+                    help="snapshot to tag (default: live)")
+    ut = sub.add_parser("untag")
+    ut.add_argument("--name", required=True)
+    rb = sub.add_parser("rollback")
+    rb.add_argument("--snapshot", type=int, required=True)
     ev = sub.add_parser("evolve")
     ev.add_argument("--drop", nargs="*", default=None)
     ev.add_argument("--rename", nargs="*", default=None,
@@ -66,7 +74,23 @@ def main() -> int:
                  "manifests": len(s.get("manifests", [])),
                  "deletes": len(s.get("delete_files", []))}
                 for s in store.snapshots()]
-        print(json.dumps({"snapshots": hist, "metrics": store.metrics()}))
+        print(json.dumps({"snapshots": hist, "refs": store.refs(),
+                          "metrics": store.metrics()}))
+        return 0
+
+    if args.cmd == "tag":
+        print(json.dumps(store.create_tag(args.name,
+                                          snapshot=args.snapshot)))
+        return 0
+
+    if args.cmd == "untag":
+        print(json.dumps(store.remove_tag(args.name)))
+        return 0
+
+    if args.cmd == "rollback":
+        snap = store.rollback_to(args.snapshot)
+        print(json.dumps({"snapshot": snap["n"],
+                          "rollback_of": snap["rollback_of"]}))
         return 0
 
     if args.cmd == "gc":

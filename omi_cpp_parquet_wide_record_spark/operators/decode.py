@@ -545,11 +545,14 @@ def decode_store(spark: SparkSession, out_dir: str,
                  filters: list[tuple[str, str, object]] | None = None,
                  planning: str = "driver",
                  since_snapshot: int | None = None,
+                 ref: str | None = None,
                  ) -> DataFrame:
     """A committed snapshot as a DataFrame (distributed decode).
 
     ``snapshot=N`` time-travels to snapshot #N (Iceberg-style as-of read);
-    default is the live snapshot `_current` points to.
+    default is the live snapshot `_current` points to. ``ref="name"``
+    reads the snapshot a tag points at (Iceberg ref read; mutually
+    exclusive with ``snapshot``).
 
     ``since_snapshot=M`` reads INCREMENTALLY (Iceberg's incremental
     append scan): only rows from manifests committed AFTER snapshot #M,
@@ -584,8 +587,13 @@ def decode_store(spark: SparkSession, out_dir: str,
         bloom probing run as DataFrame filters — the same chunk set
         driver planning would open (parity pinned by test)."""
     store = ChunkStore(out_dir)
-    snap = store.snapshot_at(snapshot) if snapshot is not None \
-        else store.current_snapshot()
+    if ref is not None and snapshot is not None:
+        raise ValueError("pass snapshot= or ref=, not both")
+    if ref is not None:
+        snap = store.resolve_ref(ref)
+    else:
+        snap = store.snapshot_at(snapshot) if snapshot is not None \
+            else store.current_snapshot()
     if snap is None:
         raise FileNotFoundError(f"no snapshot at {out_dir}")
     if since_snapshot is not None:

@@ -76,6 +76,11 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
         with open(store.current_path) as f:
             current = f.read().strip()
         live.add(current)
+    # tagged snapshots are retained unconditionally (Iceberg ref
+    # retention): a tag is a durable handle, so everything it references
+    # must survive keep_last
+    for n in store.refs().get("tags", {}).values():
+        live.add(f"snapshot-{int(n):05d}.json")
     if current is not None and current in unparsable:
         raise ValueError(
             f"live snapshot {current} is unreadable — refusing to GC a "

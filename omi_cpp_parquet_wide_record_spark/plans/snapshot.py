@@ -72,6 +72,7 @@ class ChunkStore:
         self.snapshots_dir = os.path.join(root, "snapshots")
         self.deletes_dir = os.path.join(root, "deletes")
         self.current_path = os.path.join(root, "_current")
+        self.refs_path = os.path.join(root, "refs.json")
 
     def create(self) -> "ChunkStore":
         for d in (self.chunks_dir, self.manifests_dir, self.snapshots_dir,
@@ -99,6 +100,99 @@ class ChunkStore:
                 "(expired by GC or never committed)")
         with open(path) as f:
             return json.load(f)
+
+    # ------------------------------------------------------- refs (tags)
+
+    def refs(self) -> dict:
+        """Named snapshot refs (Iceberg table refs): {"tags": {name: n}}.
+        Tags are immutable pointers into history — GC retains tagged
+        snapshots (and everything they reference) regardless of
+        keep_last, so a tag is a durable audit/repro handle."""
+        if not os.path.exists(self.refs_path):
+            return {"tags": {}}
+        with open(self.refs_path) as f:
+            out = json.load(f)
+        out.setdefault("tags", {})
+        return out
+
+    def _write_refs(self, refs: dict) -> None:
+        tmp = self.refs_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self.refs_path)
+
+    def create_tag(self, name: str, snapshot: int | None = None) -> dict:
+        """Tag a committed snapshot (default: the live one). Rejects
+        duplicates — retag by removing first (tags are immutable)."""
+        import re
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name or ""):
+            raise ValueError(f"invalid tag name {name!r} "
+                             "(use letters, digits, . _ -)")
+        snap = self.snapshot_at(snapshot) if snapshot is not None \
+            else self.current_snapshot()
+        if snap is None:
+            raise FileNotFoundError(f"no committed snapshot under "
+                                    f"{self.root}")
+        refs = self.refs()
+        if name in refs["tags"]:
+            raise ValueError(f"tag {name!r} already exists "
+                             f"(at snapshot {refs['tags'][name]})")
+        refs["tags"][name] = int(snap["n"])
+        self._write_refs(refs)
+        return {"tag": name, "snapshot": int(snap["n"])}
+
+    def remove_tag(self, name: str) -> dict:
+        refs = self.refs()
+        if name not in refs["tags"]:
+            raise KeyError(f"no tag {name!r} "
+                           f"(tags: {sorted(refs['tags'])})")
+        n = refs["tags"].pop(name)
+        self._write_refs(refs)
+        return {"tag": name, "snapshot": int(n)}
+
+    def resolve_ref(self, ref: str) -> dict:
+        """Snapshot a ref name points at (tag lookup; 'main' is the live
+        snapshot)."""
+        if ref == "main":
+            snap = self.current_snapshot()
+            if snap is None:
+                raise FileNotFoundError(
+                    f"no committed snapshot under {self.root}")
+            return snap
+        tags = self.refs()["tags"]
+        if ref not in tags:
+            raise KeyError(f"no ref {ref!r} (tags: {sorted(tags)})")
+        return self.snapshot_at(int(tags[ref]))
+
+    def rollback_to(self, snapshot: int, run_id: str | None = None) -> dict:
+        """Iceberg rollback: commit a NEW snapshot whose content is
+        exactly snapshot #``snapshot``'s — manifests, deletes, schema,
+        aliases, rewrite state all restored — under a fresh commit
+        number. History is preserved: the undone snapshots stay readable
+        by time travel until GC expires them, and the rollback itself is
+        one atomic pointer flip."""
+        target = self.snapshot_at(int(snapshot))
+        head = self.current_snapshot()
+        if head is None:
+            raise FileNotFoundError(f"no committed snapshot under "
+                                    f"{self.root}")
+        n = head["n"] + 1
+        snap = {
+            **target,
+            "n": n,
+            "snapshot_id": uuid.uuid4().hex,
+            "parent_id": head["snapshot_id"],
+            "created_ms": int(time.time() * 1000),
+            "run_id": run_id or uuid.uuid4().hex,
+            "rollback_of": int(snapshot),
+        }
+        sname = f"snapshot-{n:05d}.json"
+        self._write_snapshot_json(sname, snap)
+        tmp = self.current_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(sname)
+        os.replace(tmp, self.current_path)
+        return snap
 
     def snapshots(self) -> list[dict]:
         """All retained snapshots, oldest first (the table history)."""

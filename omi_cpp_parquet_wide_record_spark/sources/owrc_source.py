@@ -55,10 +55,14 @@ class OwrcReader(DataSourceReader):
         self.schema = schema
         self.root = options.get("path")
         # snapshot=N time-travels; sinceSnapshot=M reads incrementally
-        # (only manifests committed after M) — mirrors decode_store
+        # (only manifests committed after M); ref="tag" reads a named
+        # ref — all mirror decode_store
         self._snapshot = options.get("snapshot")
         self._since = options.get("sincesnapshot",
                                   options.get("since_snapshot"))
+        self._ref = options.get("ref")
+        if self._ref is not None and self._snapshot is not None:
+            raise ValueError("owrc: pass snapshot or ref, not both")
         self._zone_filters: list[tuple[str, str, object]] = []
         if not self.root:
             raise ValueError("owrc source needs a path")
@@ -98,8 +102,12 @@ class OwrcReader(DataSourceReader):
         )
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
         store = ChunkStore(self.root)
-        snap = store.snapshot_at(int(self._snapshot)) \
-            if self._snapshot is not None else store.current_snapshot()
+        if self._ref is not None:
+            snap = store.resolve_ref(self._ref)
+        elif self._snapshot is not None:
+            snap = store.snapshot_at(int(self._snapshot))
+        else:
+            snap = store.current_snapshot()
         if self._since is not None:
             base = store.snapshot_at(int(self._since))
             # skip pid-rewrite commits and read the ORIGINAL appended
@@ -305,7 +313,16 @@ class OwrcDataSource(DataSource):
         import pyarrow as pa
         from pyspark.sql.pandas.types import from_arrow_schema
         from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
-        s = ChunkStore(self.options["path"]).arrow_schema()
+        store = ChunkStore(self.options["path"])
+        # time-travel/ref reads present THAT snapshot's schema (it may
+        # predate a rename/drop evolution)
+        if self.options.get("ref") is not None:
+            s = store.arrow_schema(store.resolve_ref(self.options["ref"]))
+        elif self.options.get("snapshot") is not None:
+            s = store.arrow_schema(
+                store.snapshot_at(int(self.options["snapshot"])))
+        else:
+            s = store.arrow_schema()
         # nullable like decode_store: add-column evolution null-fills rows
         # from chunks committed before a column existed
         return from_arrow_schema(pa.schema(

@@ -1954,3 +1954,87 @@ def test_evolve_then_rewrite_migrates_names(spark, tmp_path):
     got = decode_store(spark, out)
     assert got.count() == 1000
     assert got.filter(F.col("x") != F.col("id") * 2).count() == 0
+
+
+def test_tags_ref_reads_and_gc_retention(spark, tmp_path):
+    """Snapshot tags (Iceberg table refs): named immutable pointers into
+    history, readable via decode_store(ref=) and the owrc DataSource,
+    retained by GC regardless of keep_last until untagged."""
+    import os
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    out = str(tmp_path / "store")
+    for i in range(3):
+        encode_dataframe(
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id"), (F.col("id") * 2).alias("v")),
+            out, salt_key="id", num_pids=2, chunk_rows=100, resume=False)
+    store = ChunkStore(out)
+    store.create_tag("v1", snapshot=0)
+    store.create_tag("audit-2026.08")        # live head
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_tag("v1")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        store.create_tag("bad name!")
+
+    # ref reads resolve to the tagged snapshot
+    assert decode_store(spark, out, ref="v1").count() == 1000
+    assert decode_store(spark, out, ref="audit-2026.08").count() == 3000
+    assert decode_store(spark, out, ref="main").count() == 3000
+    with pytest.raises(KeyError, match="no ref"):
+        decode_store(spark, out, ref="nope").count()
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    spark.dataSource.register(OwrcDataSource)
+    sdf = spark.read.format("owrc").option("ref", "v1").load(out)
+    assert sdf.count() == 1000
+
+    # GC keeps the tagged snapshot 0 (and its chunks) despite keep_last=1
+    expire_snapshots(store, keep_last=1)
+    assert decode_store(spark, out, ref="v1").count() == 1000
+    # untag releases it: the next GC expires snapshot 0
+    store.remove_tag("v1")
+    rep = expire_snapshots(store, keep_last=1)
+    assert "snapshot-00000.json" in rep["removed_snapshots"]
+    with pytest.raises(FileNotFoundError):
+        decode_store(spark, out, snapshot=0).count()
+    assert decode_store(spark, out).count() == 3000
+
+
+def test_rollback_restores_state_with_history(spark, tmp_path):
+    """rollback_to commits a NEW snapshot with the target's exact content
+    (manifests, deletes, schema, aliases) — one atomic pointer flip, the
+    undone commits stay time-travelable, and appends after the rollback
+    continue from the restored state."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows, evolve_schema,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 1000).select(F.col("id"), (F.col("id") % 7)
+                                    .alias("g")),
+        out, salt_key="id", num_pids=2, chunk_rows=100, resume=False)
+    # n=1: delete, n=2: evolve rename
+    delete_rows(out, spark.range(0, 100).select("id"), "id")
+    evolve_schema(out, rename={"g": "grp"})
+    store = ChunkStore(out)
+    assert decode_store(spark, out).count() == 900
+    assert decode_store(spark, out).columns == ["id", "grp"]
+
+    # roll all the way back to n=0: delete undone, old names restored
+    snap = store.rollback_to(0)
+    assert snap["n"] == 3 and snap["rollback_of"] == 0
+    got = decode_store(spark, out)
+    assert got.count() == 1000
+    assert got.columns == ["id", "g"]
+    # history intact: the undone snapshots still read
+    assert decode_store(spark, out, snapshot=1).count() == 900
+    assert decode_store(spark, out, snapshot=2).columns == ["id", "grp"]
+    # appends continue from the restored state (old names live again)
+    encode_dataframe(
+        spark.range(1000, 1200).select(F.col("id"), (F.col("id") % 7)
+                                       .alias("g")),
+        out, salt_key="id", num_pids=2, resume=False)
+    assert decode_store(spark, out).count() == 1200
