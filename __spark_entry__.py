@@ -509,6 +509,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_store(s, out, filters=[("chars", "<", 300)])
     q["schema_evolution_scan"] = _schema_evolution
 
+    def _meta_files_rollup(s, d):
+        """Metadata tables (r5): the store's ``files`` table (one row per
+        chunk column, read as a distributed manifest scan) rolled up to
+        per-column row totals — every column of every chunk accounts for
+        each table row exactly once, so the rollup equals the source
+        row count per column. Reuses o11_encode_roundtrip's cached
+        store."""
+        from omi_cpp_parquet_wide_record_spark.operators.metadata import (
+            metadata_table,
+        )
+        cols = ["doc_id", "text", "lang", "source", "n_chars"]
+        _roundtrip(s, d, "documents", cols, {}, "auto")  # ensure store
+        out = _store_path(d, "documents", cols, {}, "auto")
+        files = metadata_table(s, out, "files")
+        return (files.groupBy("column")
+                .agg(F.sum("rows").alias("n_rows"))
+                .withColumnRenamed("column", "col"))
+    q["meta_files_rollup"] = _meta_files_rollup
+
     def _zorder_scan(s, d):
         """O11/O13 + multi-column layout (r5 zorder): the store is written
         with the Morton interleave of (doc_id, n_chars), so zone maps
@@ -1050,6 +1069,14 @@ def oracle_sql() -> dict[str, str]:
     sql["schema_evolution_scan"] = (
         "SELECT doc_id, lang, n_chars AS chars FROM documents "
         "WHERE n_chars < 300")
+
+    # the files metadata table accounts for every row once per column
+    sql["meta_files_rollup"] = (
+        "SELECT 'doc_id' AS col, count(*) AS n_rows FROM documents "
+        "UNION ALL SELECT 'text', count(*) FROM documents "
+        "UNION ALL SELECT 'lang', count(*) FROM documents "
+        "UNION ALL SELECT 'source', count(*) FROM documents "
+        "UNION ALL SELECT 'n_chars', count(*) FROM documents")
 
     # layout-independent view of the z-ordered store: a plain filter
     sql["zorder_pruned_scan"] = (

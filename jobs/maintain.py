@@ -55,6 +55,13 @@ def main() -> int:
                     metavar="OLD=NEW",
                     help="rename columns (metadata-only; old chunks "
                          "resolve through aliases at read time)")
+    ins = sub.add_parser("inspect")
+    ins.add_argument("--kind", required=True,
+                     choices=["snapshots", "history", "refs", "files",
+                              "partitions", "deletes"])
+    ins.add_argument("--snapshot", type=int, default=None)
+    ins.add_argument("--ref", default=None)
+    ins.add_argument("--limit", type=int, default=20)
     c = sub.add_parser("compact")
     c.add_argument("--output", required=True)
     c.add_argument("--salt-key", default=None)
@@ -140,6 +147,17 @@ def main() -> int:
         snap = delete_rows(args.store, keys, args.key)
         print(json.dumps({"snapshot": snap["n"],
                           "delete_files": len(snap["delete_files"])}))
+        return 0
+
+    if args.cmd == "inspect":
+        from omi_cpp_parquet_wide_record_spark.operators.metadata import (
+            metadata_table,
+        )
+        df = metadata_table(spark, args.store, args.kind,
+                            snapshot=args.snapshot, ref=args.ref)
+        rows = [r.asDict() for r in df.limit(args.limit).collect()]
+        print(json.dumps({"kind": args.kind, "rows": rows,
+                          "shown": len(rows)}, default=str))
         return 0
 
     if args.cmd == "rewrite":

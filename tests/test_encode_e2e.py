@@ -2038,3 +2038,68 @@ def test_rollback_restores_state_with_history(spark, tmp_path):
                                        .alias("g")),
         out, salt_key="id", num_pids=2, resume=False)
     assert decode_store(spark, out).count() == 1200
+
+
+def test_metadata_tables(spark, tmp_path):
+    """Iceberg-style metadata tables: snapshots/refs/deletes are commit
+    metadata, files/partitions read the manifests distributed; the live
+    files view hides rewritten-away rows and canonicalizes renamed
+    columns, and ref/snapshot pins read historical views."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows, evolve_schema, rewrite_small_chunks,
+    )
+    from omi_cpp_parquet_wide_record_spark.operators.metadata import (
+        metadata_table,
+    )
+    out = str(tmp_path / "store")
+    for i in range(2):
+        encode_dataframe(
+            spark.range(i * 1000, (i + 1) * 1000).select(
+                F.col("id"), (F.col("id") * 2).alias("a")),
+            out, salt_key="id", num_pids=2, chunk_rows=100, resume=False)
+    delete_rows(out, spark.range(0, 50).select("id"), "id")
+    evolve_schema(out, rename={"a": "x"})
+    store = ChunkStore(out)
+    store.create_tag("t0", snapshot=0)
+
+    snaps = metadata_table(spark, out, "snapshots").collect()
+    assert [r.n for r in snaps] == [0, 1, 2, 3]
+    assert [r.is_current for r in snaps] == [False] * 3 + [True]
+
+    refs = metadata_table(spark, out, "refs").collect()
+    assert [(r.name, r.type, r.snapshot) for r in refs] == [("t0", "tag", 0)]
+
+    dels = metadata_table(spark, out, "deletes").collect()
+    assert len(dels) == 1 and dels[0].key == "id" and dels[0].n == 2
+
+    files = metadata_table(spark, out, "files")
+    # live view canonicalizes the renamed column
+    assert sorted(r["column"] for r in
+                  files.select("column").distinct().collect()) == \
+        ["id", "x"]
+    # per-column row totals equal the table size
+    tot = {r["column"]: r.s for r in
+           files.groupBy("column").agg(F.sum("rows").alias("s")).collect()}
+    assert tot == {"id": 2000, "x": 2000}
+    # commit_n distinguishes the two appends
+    assert sorted(r.commit_n for r in
+                  files.select("commit_n").distinct().collect()) == [0, 1]
+    # a tagged (pre-rename) snapshot keeps its physical names
+    f0 = metadata_table(spark, out, "files", ref="t0")
+    assert sorted(r["column"] for r in
+                  f0.select("column").distinct().collect()) == ["a", "id"]
+
+    parts = metadata_table(spark, out, "partitions").collect()
+    assert sum(r.rows for r in parts) == 2000
+    assert all(r.chunks >= 2 for r in parts)
+
+    # after a binpack rewrite the files view shrinks to the live chunks
+    n_before = files.count()
+    rewrite_small_chunks(spark, out, target_rows=100000)
+    n_after = metadata_table(spark, out, "files").count()
+    assert n_after < n_before // 5
+    assert {r["column"]: r.s for r in
+            metadata_table(spark, out, "files").groupBy("column")
+            .agg(F.sum("rows").alias("s")).collect()} == \
+        {"id": 1950, "x": 1950}   # rewrite materialized the delete
