@@ -67,8 +67,11 @@ import sys as _sys
 
 TRAIN_BYTES_DEFAULT = int(_os.environ.get("OWR_FSST_TRAIN_BYTES",
                                           512 << 10))
+# 512 KB replay blocks (r5 sweep: 22.4 vs 20.1 MB/s single-proc and
+# 279 vs 264 MB/s aggregate at 32-way against the old 1 MB — the int16
+# stream + temps of a 1 MB block overflow L2 under full-core concurrency)
 BLOCK_BYTES_DEFAULT = int(_os.environ.get("OWR_FSST_BLOCK_BYTES",
-                                          1 << 20))
+                                          512 << 10))
 
 
 def _with_sentinels(corpus: np.ndarray, start_pos: np.ndarray) -> np.ndarray:
@@ -112,24 +115,26 @@ def _train_and_tokenize(t: np.ndarray, rounds: int, per_round: int,
         lut = np.full(_NKEYS, -1, dtype=np.int16)
         round_ids = np.arange(next_id, next_id + len(cand), dtype=np.int16)
         lut[cand] = round_ids
-        program.append((cand.astype(np.int32), round_ids))
-        for l_id, r_id in zip(left.tolist(), right.tolist()):
-            pairs.append((l_id, r_id))
-            exp_len[next_id] = exp_len[l_id] + exp_len[r_id]
-            next_id += 1
         # positions whose pair is chosen; greedy-left-to-right non-overlap.
         # Run-parity selection happens on the marked SUBSET (runs of marked
         # positions are consecutive indices), not on full-stream aux arrays.
         new_ids = lut[k]
         sel = _select_nonoverlap(new_ids)
-        if sel is None:
+        if sel is None or len(sel) * 100 < len(t):
+            # diminishing returns: do NOT mint this round's symbols at
+            # all — a low-yield round would still cost replay a full
+            # key+gather+select+compact pass per block (and its ids would
+            # compete for output codes), for <1% of positions merged
             break
+        program.append((cand.astype(np.int32), round_ids))
+        for l_id, r_id in zip(left.tolist(), right.tolist()):
+            pairs.append((l_id, r_id))
+            exp_len[next_id] = exp_len[l_id] + exp_len[r_id]
+            next_id += 1
         t[sel] = new_ids[sel]
         keep = np.ones(len(t), dtype=bool)
         keep[sel + 1] = False
         t = t[keep]
-        if len(sel) < len(t) // 100:       # diminishing returns: stop early
-            break
     return t, pairs, program
 
 
@@ -179,18 +184,18 @@ def _round0_lut16(program) -> np.ndarray | None:
 
 
 def _round0_raw(block: np.ndarray, bpos: np.ndarray,
-                lut16: np.ndarray) -> np.ndarray:
-    """Apply the first merge round directly on the raw uint8 block, then
-    emit the sentineled int16 stream for the remaining rounds.
-
-    Equivalent to _with_sentinels + one _apply_program round: pairs that
-    cross a row boundary are masked instead of split by a sentinel token —
-    masking position (row_start - 1) breaks the marked runs at exactly the
-    places the sentinel would have, so the greedy parity selection picks
-    the identical pair set (bit-identical output, asserted by tests)."""
+                lut16: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Apply the first merge round directly on the raw uint8 block and
+    return the (int16 token stream, row-start positions) pair for the
+    remaining BOUNDARY-MASKED rounds — no sentinel tokens anywhere on the
+    replay path (r5: masking position row_start-1 breaks the marked runs
+    at exactly the places a sentinel would have, so the greedy parity
+    selection picks the identical pair set; sentinel insertion cost a
+    cumsum + scatter + SEP fill per block, and inflated short-row streams
+    by a token per row)."""
     n = len(block)
     if n < 2:
-        return _with_sentinels(block, bpos)
+        return block.astype(np.int16), bpos
     if block.flags.c_contiguous and _sys.byteorder == "little":
         # zero-copy key stream: an unaligned little-endian uint16 view over
         # the raw bytes IS the (left | right<<8) key at every position —
@@ -208,17 +213,20 @@ def _round0_raw(block: np.ndarray, bpos: np.ndarray,
         ids[inner - 1] = -1          # pairs crossing a row boundary
     sel = _select_nonoverlap(ids)
     if sel is None:
-        return _with_sentinels(block, bpos)
-    t = block.astype(np.int16)
-    t[sel] = ids[sel]
+        return block.astype(np.int16), bpos
+    # compact FIRST on the 1-byte raw block, widen after, and scatter the
+    # merged ids at their compacted coordinates (sel[i] has exactly i
+    # removals — all sel+1, strictly increasing — before it): this skips
+    # the full-width int16 materialization of dropped positions
     keep = np.ones(n, dtype=bool)
     keep[sel + 1] = False
-    t = t[keep]
+    t = block[keep].astype(np.int16)
+    t[sel - np.arange(len(sel), dtype=sel.dtype)] = ids[sel]
     # row starts in compacted coordinates: dropped positions are sel+1,
     # all strictly inside rows, so a searchsorted over the (sorted) sel
     # array replaces a full-length cumsum
     new_bpos = bpos - np.searchsorted(sel, bpos - 1, side="left")
-    return _with_sentinels_tokens(t, new_bpos)
+    return t, new_bpos
 
 
 def _with_sentinels_tokens(t: np.ndarray, start_pos: np.ndarray) -> np.ndarray:
@@ -235,10 +243,13 @@ def _with_sentinels_tokens(t: np.ndarray, start_pos: np.ndarray) -> np.ndarray:
     return out
 
 
-def _apply_program(t: np.ndarray, program, lut: np.ndarray) -> np.ndarray:
-    """Replay a trained merge program on one (cache-sized) sentineled token
-    block: per round only lut-gather + parity-select + compaction — no
-    counting, no boundary bookkeeping."""
+def _apply_program(t: np.ndarray, bpos: np.ndarray, program,
+                   lut: np.ndarray) -> np.ndarray:
+    """Replay a trained merge program on one (cache-sized) token block
+    with BOUNDARY MASKING: per round only lut-gather + boundary mask +
+    parity-select + compaction — no counting, no sentinel tokens (the
+    masked positions break marked runs exactly where sentinels would,
+    so the selected pair set is identical)."""
     for keys, ids in program:
         if len(t) < 2:
             break
@@ -248,13 +259,16 @@ def _apply_program(t: np.ndarray, program, lut: np.ndarray) -> np.ndarray:
         k = np.multiply(t[:-1], np.int32(_KSPACE), dtype=np.int32)
         k |= t[1:]
         new_ids = lut[k]
+        inner = bpos[bpos > 0]
+        if len(inner):
+            new_ids[inner - 1] = -1    # pairs crossing a row boundary
         sel = _select_nonoverlap(new_ids)
         if sel is not None:
             t[sel] = new_ids[sel]
             keep = np.ones(len(t), dtype=bool)
-            sel += 1                   # done with sel: reuse in place
-            keep[sel] = False
+            keep[sel + 1] = False
             t = t[keep]
+            bpos = bpos - np.searchsorted(sel, bpos - 1, side="left")
         lut[keys] = -1     # restore shared lut for the next round/block
     return t
 
@@ -439,10 +453,11 @@ def _replay_blocks(corpus: np.ndarray, starts: np.ndarray,
             continue
         bpos = start_pos[np.searchsorted(start_pos, lo):
                          np.searchsorted(start_pos, hi)] - lo
-        tb = (_round0_raw(corpus[lo:hi], bpos, lut16)
-              if lut16 is not None
-              else _with_sentinels(corpus[lo:hi], bpos))
-        outs.append(_assemble(_apply_program(tb, rest, lut),
+        if lut16 is not None:
+            tb, bp = _round0_raw(corpus[lo:hi], bpos, lut16)
+        else:
+            tb, bp = corpus[lo:hi].astype(np.int16), bpos
+        outs.append(_assemble(_apply_program(tb, bp, rest, lut),
                               enc_flat, enc_off, enc_w))
     if not outs:   # defensive: cuts always yield >=1 block
         outs = [_assemble(_with_sentinels(corpus, start_pos),

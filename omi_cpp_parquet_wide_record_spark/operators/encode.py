@@ -446,6 +446,59 @@ def pid_expr(partition_by: list[str] | None, salt_key: str | None,
     return F.pmod(F.xxhash64(F.col(salt_key)), F.lit(num_pids)).cast("int")
 
 
+def _spark_murmur3_int32(ks):
+    """Spark's Murmur3Hash of an int32 column (seed 42), vectorized —
+    bit-exact against F.hash(int) (pinned by test). Public Murmur3_x86_32
+    single-block path; needed driver-side to choose shuffle-key preimages
+    without a Spark job."""
+    import numpy as np
+    ks = ks.astype(np.uint32)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    k1 = ks * c1
+    k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+    k1 = k1 * c2
+    h1 = np.uint32(42) ^ k1
+    h1 = (h1 << np.uint32(13)) | (h1 >> np.uint32(19))
+    h1 = h1 * np.uint32(5) + np.uint32(0xE6546B64)
+    h1 ^= np.uint32(4)                     # length in bytes
+    h1 ^= h1 >> np.uint32(16)
+    h1 = h1 * np.uint32(0x85EBCA6B)
+    h1 ^= h1 >> np.uint32(13)
+    h1 = h1 * np.uint32(0xC2B2AE35)
+    h1 ^= h1 >> np.uint32(16)
+    return h1.astype(np.int32)
+
+
+def _exact_partition_key(num_pids: int, num_tasks: int):
+    """Column expr routing pid p to shuffle partition p % num_tasks
+    EXACTLY: Spark's hash partitioning places a row by
+    pmod(murmur3(key), n), so for each target partition t we search (a
+    vectorized coupon-collector over the driver-side murmur3 above) an
+    integer preimage k_t with pmod(murmur3(k_t), n) == t, and the key is
+    the pid's preimage via one array-literal lookup. Pure plan metadata:
+    the array is num_tasks ints, the search is O(n log n) hashes."""
+    import numpy as np
+    pre = np.full(num_tasks, -1, dtype=np.int64)
+    found, start = 0, 0
+    while found < num_tasks:
+        ks = np.arange(start, start + max(4096, num_tasks * 4),
+                       dtype=np.int64)
+        start = int(ks[-1]) + 1
+        part = np.mod(_spark_murmur3_int32(ks).astype(np.int64),
+                      num_tasks)
+        part = np.where(part < 0, part + num_tasks, part)
+        # first preimage per still-missing partition
+        for k, t in zip(ks[pre[part] == -1],
+                        part[pre[part] == -1]):
+            if pre[t] == -1:
+                pre[t] = k
+                found += 1
+    lut = F.lit([int(x) for x in pre])
+    # cast to int: Spark hashes ints and longs differently, and the
+    # preimages were searched under the int32 hash
+    return F.element_at(lut, (F.col(PID_COL) % num_tasks) + 1).cast("int")
+
+
 def encode_dataframe(
     df: DataFrame,
     out_dir: str,
@@ -576,23 +629,29 @@ def encode_dataframe(
             work = work.join(F.broadcast(done), PID_COL, "left_anti")
 
     if colocate == "shuffle":
+        shuffle_key = F.col(PID_COL)
         if num_tasks is None:
             base = max(spark.sparkContext.defaultParallelism * 4, 8)
             if num_pids <= base * 4:
-                # few-pids regime: hashing m pids into ~m partitions
-                # leaves some tasks with 2-3 work units and others empty,
-                # and the collided tasks set the last wave's tail
-                # (measured +18% wall at m=123 on the bench corpus).
-                # 2m partitions halve the expected max load — most tasks
-                # carry exactly one pid — at the cost of ~40% empty
-                # partitions, which are nearly free. Far above that
-                # (>4 pids/task) collisions average out and more
-                # partitions only add empty-task overhead, so the
-                # parallelism-derived count is kept.
-                num_tasks = 2 * num_pids
+                # few-pids regime: hash-partitioning m pids into ~m tasks
+                # collides (birthday) — some tasks carry 2-3 work units
+                # and set the last wave's tail. r5 first fixed this with
+                # 2m partitions (most tasks one pid, ~40% empty); the
+                # exact mapping below beats that on BOTH axes: pid p is
+                # routed to partition p % T deterministically (zero
+                # collisions, every task carries ⌈m/T⌉ or ⌊m/T⌋ units),
+                # and T ≈ max(2·cores, m/2) halves the task count — the
+                # JVM->Python Arrow runner costs are per TASK (measured
+                # floor at bench scale: 246 tasks 2.7 s, 123 2.4 s,
+                # 64 1.6 s for a no-op consumer of the same shuffle).
+                num_tasks = min(num_pids,
+                                max(spark.sparkContext
+                                    .defaultParallelism * 2,
+                                    -(-num_pids // 2)))
+                shuffle_key = _exact_partition_key(num_pids, num_tasks)
             else:
                 num_tasks = base
-        work = work.repartition(num_tasks, F.col(PID_COL))
+        work = work.repartition(num_tasks, shuffle_key)
     elif colocate != "local":
         raise ValueError(f"colocate must be 'shuffle' or 'local': {colocate}")
 
