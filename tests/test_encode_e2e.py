@@ -2103,3 +2103,40 @@ def test_metadata_tables(spark, tmp_path):
             metadata_table(spark, out, "files").groupBy("column")
             .agg(F.sum("rows").alias("s")).collect()} == \
         {"id": 1950, "x": 1950}   # rewrite materialized the delete
+
+
+def test_exact_partition_key_matches_spark_hash(spark):
+    """The encode shuffle's exact pid routing relies on a driver-side
+    replica of Spark's Murmur3 int hash (preimage search): pin
+    bit-equality against F.hash over negatives and large ints, and pin
+    the resulting layout — every partition holds its exact pid share."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        PID_COL, _exact_partition_key, _spark_murmur3_int32,
+    )
+    vals = np.array([0, 1, 2, 41, 42, -1, -42, 2**31 - 1, -2**31,
+                     123456789, -987654321], dtype=np.int64)
+    got = _spark_murmur3_int32(vals)
+    exp = spark.createDataFrame(
+        [(int(v),) for v in vals], "k int").select(
+        F.hash("k").alias("h")).collect()
+    assert [int(x) for x in got] == [r.h for r in exp]
+
+    # layout: 123 pids into 50 partitions -> every partition holds
+    # ceil/floor(123/50) pids, none empty, zero collisions beyond that
+    num_pids, T = 123, 50
+    key = _exact_partition_key(num_pids, T)
+    df = spark.range(0, num_pids * 4).select(
+        (F.col("id") % num_pids).cast("int").alias(PID_COL))
+
+    def probe(batches):
+        pids = set()
+        for b in batches:
+            pids.update(b.column(PID_COL).to_pylist())
+        yield pa.RecordBatch.from_pydict({"np": [len(pids)]})
+    parts = [r.np for r in
+             df.repartition(T, key).mapInArrow(probe, "np long").collect()]
+    assert len(parts) == T and min(parts) >= 123 // 50
+    assert max(parts) <= -(-123 // 50)
