@@ -2140,3 +2140,126 @@ def test_exact_partition_key_matches_spark_hash(spark):
              df.repartition(T, key).mapInArrow(probe, "np long").collect()]
     assert len(parts) == T and min(parts) >= 123 // 50
     assert max(parts) <= -(-123 // 50)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_store_lifecycle_model_fuzz(spark, tmp_path, seed):
+    """Model-based wall over the whole table-lifecycle surface: a seeded
+    random sequence of appends, upserts, equality deletes, renames,
+    drops, binpack rewrites, and rollbacks runs against the store AND a
+    driver-side model; the decoded table must equal the model after
+    every step, and both planning modes + GC must agree at the end.
+    This is the interaction net for the r5 features — any pairwise
+    composition bug (e.g. a delete keyed on a since-renamed column, a
+    rewrite over aliased chunks, a rollback across an evolution)
+    surfaces as a model divergence."""
+    import random
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows, evolve_schema, rewrite_small_chunks,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    rng = random.Random(seed)
+    out = str(tmp_path / "store")
+
+    # model: rows[k] = {col: val}; cols = live schema (ordered)
+    cols = ["k", "a", "b"]
+    rows: dict[int, dict] = {}
+    history: dict[int, tuple[list, dict]] = {}   # snapshot n -> (cols, rows)
+    next_key = 0
+    fresh = iter(f"c{i}" for i in range(100))
+
+    def mkrow(k):
+        return {c: (k if c == "k" else hash((c, k)) % 10007)
+                for c in cols}
+
+    def batch_df(ks, as_cols):
+        data = [tuple(mkrow(k)[c] for c in as_cols) for k in ks]
+        return spark.createDataFrame(
+            data, ", ".join(f"{c} long" for c in as_cols))
+
+    def snap_model():
+        # keyed by the store's ACTUAL snapshot number (a no-op rewrite
+        # commits nothing, so list indexing would drift)
+        n = ChunkStore(out).current_snapshot()["n"]
+        history[n] = (list(cols), {k: dict(v) for k, v in rows.items()})
+
+    def verify(planning="driver"):
+        got = decode_store(spark, out, planning=planning)
+        assert got.columns == cols, (got.columns, cols)
+        have = sorted((tuple(r[c] for c in cols)
+                       for r in got.collect()))
+        want = sorted(tuple(v[c] for c in cols) for v in rows.values())
+        assert have == want, f"divergence at op {opi} ({op})"
+
+    # op 0 is always an append so the store exists
+    ops = ["append"]
+    ops += [rng.choice(["append", "upsert", "delete", "rename", "drop",
+                        "rewrite", "append", "upsert", "rollback"])
+           for _ in range(12)]
+    for opi, op in enumerate(ops):
+        if op == "append":
+            ks = list(range(next_key, next_key + rng.randint(50, 150)))
+            next_key = ks[-1] + 1
+            encode_dataframe(batch_df(ks, cols), out, salt_key="k",
+                             num_pids=3, chunk_rows=40, resume=False)
+            for k in ks:
+                rows[k] = mkrow(k)
+            snap_model()
+        elif op == "upsert":
+            if not rows:
+                continue
+            ks = rng.sample(sorted(rows), min(30, len(rows)))
+            encode_dataframe(batch_df(ks, cols), out, salt_key="k",
+                             num_pids=3, resume=False, upsert_key="k")
+            for k in ks:
+                rows[k] = mkrow(k)
+            snap_model()
+        elif op == "delete":
+            if not rows:
+                continue
+            ks = rng.sample(sorted(rows), min(20, len(rows)))
+            delete_rows(out, spark.createDataFrame(
+                [(k,) for k in ks], "k long"), "k")
+            for k in ks:
+                rows.pop(k, None)
+            snap_model()
+        elif op == "rename":
+            src = rng.choice([c for c in cols if c != "k"])
+            dst = next(fresh)
+            evolve_schema(out, rename={src: dst})
+            cols[cols.index(src)] = dst
+            for v in rows.values():
+                v[dst] = v.pop(src)
+            snap_model()
+        elif op == "drop":
+            cand = [c for c in cols if c != "k"]
+            if len(cand) < 2:
+                continue           # keep at least one value column
+            src = rng.choice(cand)
+            evolve_schema(out, drop=[src])
+            cols.remove(src)
+            for v in rows.values():
+                v.pop(src, None)
+            snap_model()
+        elif op == "rewrite":
+            rewrite_small_chunks(spark, out, target_rows=100000)
+            snap_model()
+        elif op == "rollback":
+            cur = ChunkStore(out).current_snapshot()["n"]
+            cand_n = [n for n in history if n < cur]
+            if not cand_n:
+                continue
+            n = rng.choice(cand_n)
+            ChunkStore(out).rollback_to(n)
+            c0, r0 = history[n]
+            cols = list(c0)
+            rows = {k: dict(v) for k, v in r0.items()}
+            snap_model()
+        if opi % 3 == 0 or opi == len(ops) - 1:
+            verify()
+    verify("driver")
+    verify("distributed")
+    # GC keeping only the live snapshot must not change the live view
+    expire_snapshots(ChunkStore(out), keep_last=1)
+    verify("driver")
