@@ -47,6 +47,9 @@ def main() -> int:
                     help="MERGE-style replace-by-key: commit the batch's "
                          "keys as a same-snapshot equality delete "
                          "(implies --no-resume)")
+    ap.add_argument("--branch", default=None,
+                    help="stage the commit on a branch (write-audit-"
+                         "publish); publish with maintain.py publish")
     ap.add_argument("--verify-key", default=None,
                     help="decode + bit-identity verify on this key column")
     ap.add_argument("--cores", type=int, default=None)
@@ -74,7 +77,8 @@ def main() -> int:
         chunk_rows=args.chunk_rows,
         resume=(not args.no_resume) and args.upsert_key is None,
         colocate=args.colocate, sort_by=args.sort_by,
-        zorder_by=args.zorder_by, upsert_key=args.upsert_key)
+        zorder_by=args.zorder_by, upsert_key=args.upsert_key,
+        branch=args.branch)
     report = {
         "rows": res.rows, "bytes_in": res.bytes_in,
         "bytes_out": res.bytes_out, "ratio": round(res.ratio, 3),

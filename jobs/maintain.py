@@ -49,6 +49,12 @@ def main() -> int:
     ut.add_argument("--name", required=True)
     rb = sub.add_parser("rollback")
     rb.add_argument("--snapshot", type=int, required=True)
+    pb = sub.add_parser("publish")
+    pb.add_argument("--branch", required=True,
+                    help="fast-forward main to this branch head "
+                         "(the P of write-audit-publish)")
+    db = sub.add_parser("drop-branch")
+    db.add_argument("--branch", required=True)
     ev = sub.add_parser("evolve")
     ev.add_argument("--drop", nargs="*", default=None)
     ev.add_argument("--rename", nargs="*", default=None,
@@ -98,6 +104,14 @@ def main() -> int:
         snap = store.rollback_to(args.snapshot)
         print(json.dumps({"snapshot": snap["n"],
                           "rollback_of": snap["rollback_of"]}))
+        return 0
+
+    if args.cmd == "publish":
+        print(json.dumps(store.fast_forward(args.branch)))
+        return 0
+
+    if args.cmd == "drop-branch":
+        print(json.dumps(store.drop_branch(args.branch)))
         return 0
 
     if args.cmd == "gc":

@@ -518,6 +518,7 @@ def encode_dataframe(
     zorder_by: list[str] | None = None,
     zorder_stats_sample: float | None = None,
     upsert_key: str | None = None,
+    branch: str | None = None,
 ) -> EncodeResult:
     """Encode a DataFrame into the chunk store at ``out_dir``.
 
@@ -593,7 +594,11 @@ def encode_dataframe(
         if upsert_key not in df.columns:
             raise ValueError(f"upsert_key {upsert_key!r} is not a column "
                              f"of the batch ({df.columns})")
-    prior = store.current_snapshot()
+    # branch commits (write-audit-publish) stage against the BRANCH head:
+    # resume state, upsert semantics, and the retired-name guard all read
+    # from it (at the fork it IS the main head)
+    prior = store.branch_head(branch) if branch is not None \
+        else store.current_snapshot()
     if prior is not None:
         # schema evolution: a name ever dropped or renamed-away may not
         # come back — old chunks still carry it physically, so reuse
@@ -614,7 +619,8 @@ def encode_dataframe(
     pid = pid_expr(partition_by, salt_key, num_pids, salt)
     work = df.withColumn(PID_COL, pid)
 
-    committed = store.committed_pids() if resume else set()
+    committed = (set(prior["committed_pids"])
+                 if resume and prior is not None else set())
     if committed:
         if len(committed) <= _ISIN_MAX:
             work = work.filter(
@@ -671,7 +677,7 @@ def encode_dataframe(
     # for the same-snapshot equality delete; an empty store needs none —
     # there is no prior data to hide, the upsert degenerates to an insert
     upsert_delete = None
-    if upsert_key is not None and store.current_snapshot() is not None:
+    if upsert_key is not None and prior is not None:
         upsert_delete = (df.select(upsert_key).distinct().toArrow()
                          .rename_columns([upsert_key]), upsert_key)
 
@@ -687,7 +693,8 @@ def encode_dataframe(
         shard_files = sorted(set(summaries.column("shard_file").to_pylist()))
         new_pids = set(summaries.column("pid").to_pylist())
         snap = store.commit(shard_files, _spark_to_arrow_schema(df), run_id,
-                            new_pids=new_pids, add_delete=upsert_delete)
+                            new_pids=new_pids, add_delete=upsert_delete,
+                            branch=branch)
         bi = pc.sum(summaries.column("bytes_in")).as_py() or 0
         bo = pc.sum(summaries.column("bytes_out")).as_py() or 0
         rows = pc.sum(summaries.column("rows")).as_py() or 0
@@ -706,7 +713,8 @@ def encode_dataframe(
     if manifest_rows.num_rows == 0 and not committed:
         raise ValueError("nothing to encode: input DataFrame is empty")
 
-    snap = store.commit(manifest_rows, _spark_to_arrow_schema(df), run_id)
+    snap = store.commit(manifest_rows, _spark_to_arrow_schema(df), run_id,
+                        branch=branch)
 
     bi = pc.sum(manifest_rows.column("bytes_in")).as_py() or 0
     bo = pc.sum(manifest_rows.column("bytes_out")).as_py() or 0

@@ -124,8 +124,11 @@ def metadata_table(spark: SparkSession, store_dir: str, kind: str,
                   "delete_files int, rollback_of int, is_current boolean")
 
     if kind == "refs":
+        refs_ = store.refs()
         rows = [(name, "tag", int(n))
-                for name, n in sorted(store.refs()["tags"].items())]
+                for name, n in sorted(refs_["tags"].items())]
+        rows += [(name, "branch", int(n))
+                 for name, n in sorted(refs_["branches"].items())]
         return spark.createDataFrame(
             rows, "name string, type string, snapshot int")
 

@@ -76,11 +76,29 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
         with open(store.current_path) as f:
             current = f.read().strip()
         live.add(current)
-    # tagged snapshots are retained unconditionally (Iceberg ref
-    # retention): a tag is a durable handle, so everything it references
-    # must survive keep_last
-    for n in store.refs().get("tags", {}).values():
+    # ref'd snapshots are retained unconditionally (Iceberg ref
+    # retention): tags are durable handles and branch heads are
+    # unpublished staged work — everything they reference must survive
+    # keep_last. Branch heads additionally retain their ANCESTOR CHAIN
+    # (snapshot JSONs — tiny commit metadata): fast_forward verifies
+    # main is an ancestor by walking parent_id, so expiring a mid-chain
+    # snapshot would strand a publishable branch.
+    refs = store.refs()
+    for n in refs.get("tags", {}).values():
         live.add(f"snapshot-{int(n):05d}.json")
+    # tolerate minimal/foreign snapshot JSON (missing ids): such entries
+    # simply can't participate in the ancestry walk
+    by_id = {s["snapshot_id"]: (name, s) for name, s in snaps
+             if "snapshot_id" in s}
+    by_n = {s["n"]: (name, s) for name, s in snaps if "n" in s}
+    for n in refs.get("branches", {}).values():
+        walk = by_n.get(int(n))
+        while walk is not None:
+            name, s = walk
+            if name in live and s["n"] != int(n):
+                break       # joined an already-retained lineage
+            live.add(name)
+            walk = by_id.get(s.get("parent_id"))
     if current is not None and current in unparsable:
         raise ValueError(
             f"live snapshot {current} is unreadable — refusing to GC a "

@@ -104,15 +104,18 @@ class ChunkStore:
     # ------------------------------------------------------- refs (tags)
 
     def refs(self) -> dict:
-        """Named snapshot refs (Iceberg table refs): {"tags": {name: n}}.
-        Tags are immutable pointers into history — GC retains tagged
-        snapshots (and everything they reference) regardless of
-        keep_last, so a tag is a durable audit/repro handle."""
+        """Named snapshot refs (Iceberg table refs):
+        {"tags": {name: n}, "branches": {name: n}}. Tags are immutable
+        pointers into history; branches are mutable heads that advance
+        with branch commits (the write-audit-publish staging lane). GC
+        retains ref'd snapshots (and everything they reference)
+        regardless of keep_last."""
         if not os.path.exists(self.refs_path):
-            return {"tags": {}}
+            return {"tags": {}, "branches": {}}
         with open(self.refs_path) as f:
             out = json.load(f)
         out.setdefault("tags", {})
+        out.setdefault("branches", {})
         return out
 
     def _write_refs(self, refs: dict) -> None:
@@ -137,6 +140,9 @@ class ChunkStore:
         if name in refs["tags"]:
             raise ValueError(f"tag {name!r} already exists "
                              f"(at snapshot {refs['tags'][name]})")
+        if name == "main" or name in refs["branches"]:
+            raise ValueError(f"tag name {name!r} collides with 'main' "
+                             "or an existing branch")
         refs["tags"][name] = int(snap["n"])
         self._write_refs(refs)
         return {"tag": name, "snapshot": int(snap["n"])}
@@ -151,18 +157,93 @@ class ChunkStore:
         return {"tag": name, "snapshot": int(n)}
 
     def resolve_ref(self, ref: str) -> dict:
-        """Snapshot a ref name points at (tag lookup; 'main' is the live
-        snapshot)."""
+        """Snapshot a ref name points at (branch or tag lookup; 'main'
+        is the live snapshot). Branches shadow tags on a name clash
+        (creation rejects clashes, so only pre-existing stores hit
+        this)."""
         if ref == "main":
             snap = self.current_snapshot()
             if snap is None:
                 raise FileNotFoundError(
                     f"no committed snapshot under {self.root}")
             return snap
-        tags = self.refs()["tags"]
-        if ref not in tags:
-            raise KeyError(f"no ref {ref!r} (tags: {sorted(tags)})")
-        return self.snapshot_at(int(tags[ref]))
+        refs = self.refs()
+        if ref in refs["branches"]:
+            return self.snapshot_at(int(refs["branches"][ref]))
+        if ref not in refs["tags"]:
+            raise KeyError(
+                f"no ref {ref!r} (tags: {sorted(refs['tags'])}, "
+                f"branches: {sorted(refs['branches'])})")
+        return self.snapshot_at(int(refs["tags"][ref]))
+
+    def branch_head(self, branch: str) -> dict | None:
+        """The snapshot a branch currently points at, or — before the
+        branch's first commit — the fork point (the live main snapshot),
+        or None on an empty store."""
+        refs = self.refs()
+        if branch in refs["branches"]:
+            return self.snapshot_at(int(refs["branches"][branch]))
+        return self.current_snapshot()
+
+    def _next_n(self) -> int:
+        """Globally unique next commit number: branch commits and main
+        commits share one n sequence (snapshot filenames embed n), so
+        the next n is max-over-all-snapshots + 1, not parent.n + 1."""
+        ns = [-1]
+        if os.path.isdir(self.snapshots_dir):
+            for name in os.listdir(self.snapshots_dir):
+                try:
+                    ns.append(int(name.split("-")[1].split(".")[0]))
+                except (IndexError, ValueError):
+                    pass
+        return max(ns) + 1
+
+    def fast_forward(self, branch: str) -> dict:
+        """Publish a branch (Iceberg fast_forward / the P of
+        write-audit-publish): flip `_current` to the branch head in one
+        atomic pointer swap — every row staged on the branch becomes
+        visible to main readers at once, or not at all. Requires the
+        current main head to be an ancestor of the branch head (walked
+        over parent_id), so a fast-forward can never silently discard
+        main commits that landed after the fork."""
+        refs = self.refs()
+        if branch not in refs["branches"]:
+            raise KeyError(f"no branch {branch!r} "
+                           f"(branches: {sorted(refs['branches'])})")
+        head_n = int(refs["branches"][branch])
+        head = self.snapshot_at(head_n)
+        cur = self.current_snapshot()
+        if cur is not None:
+            ids = set()
+            walk: dict | None = head
+            while walk is not None:
+                ids.add(walk["snapshot_id"])
+                pid = walk.get("parent_id")
+                walk = None
+                if pid is not None:
+                    for s in self.snapshots():
+                        if s["snapshot_id"] == pid:
+                            walk = s
+                            break
+            if cur["snapshot_id"] not in ids:
+                raise ValueError(
+                    f"cannot fast-forward: main head {cur['n']} is not "
+                    f"an ancestor of branch {branch!r} head {head_n} — "
+                    "main advanced since the fork; re-stage the branch")
+        tmp = self.current_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(f"snapshot-{head_n:05d}.json")
+        os.replace(tmp, self.current_path)
+        return {"branch": branch, "published": head_n}
+
+    def drop_branch(self, branch: str) -> dict:
+        refs = self.refs()
+        if branch not in refs["branches"]:
+            raise KeyError(f"no branch {branch!r} "
+                           f"(branches: {sorted(refs['branches'])})")
+        n = refs["branches"].pop(branch)
+        self._write_refs(refs)
+        return {"branch": branch, "snapshot": int(n)}
 
     def rollback_to(self, snapshot: int, run_id: str | None = None) -> dict:
         """Iceberg rollback: commit a NEW snapshot whose content is
@@ -352,7 +433,8 @@ class ChunkStore:
                add_delete: tuple[pa.Table, str] | None = None,
                rewrite_pids: set[int] | None = None,
                column_aliases: dict[str, list[str]] | None = None,
-               retired_names: list[str] | None = None) -> dict:
+               retired_names: list[str] | None = None,
+               branch: str | None = None) -> dict:
         """Append a manifest and flip the snapshot pointer atomically.
 
         ``manifest`` is either a driver-held Arrow table (written here as
@@ -392,11 +474,29 @@ class ChunkStore:
         schema-evolution state (set by ``evolve_schema`` when a commit
         renames or drops columns); by default both carry over from the
         parent unchanged.
+
+        ``branch="name"`` stages the commit on a branch (Iceberg
+        write-audit-publish): the parent is the branch head (or the
+        current main snapshot at the fork), and the commit advances the
+        branch ref instead of `_current` — main readers see nothing
+        until ``fast_forward`` publishes the branch in one atomic
+        pointer flip.
         """
         import base64
+        import re
         self.create()
-        parent = self.current_snapshot()
-        n = (parent["n"] + 1) if parent else 0
+        if branch is not None:
+            if not re.fullmatch(r"[A-Za-z0-9._-]+", branch):
+                raise ValueError(f"invalid branch name {branch!r} "
+                                 "(use letters, digits, . _ -)")
+            if branch == "main" or branch in self.refs()["tags"]:
+                raise ValueError(
+                    f"branch name {branch!r} collides with 'main' or an "
+                    "existing tag")
+            parent = self.branch_head(branch)
+        else:
+            parent = self.current_snapshot()
+        n = self._next_n()
         if isinstance(manifest, list):
             if new_pids is None:
                 raise ValueError("sharded commit needs new_pids")
@@ -466,6 +566,13 @@ class ChunkStore:
         }
         sname = f"snapshot-{n:05d}.json"
         self._write_snapshot_json(sname, snap)
+        if branch is not None:
+            # staged commit: advance the branch ref, leave `_current`
+            # (and thus every main reader) untouched
+            refs = self.refs()
+            refs["branches"][branch] = n
+            self._write_refs(refs)
+            return snap
         tmp = self.current_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             f.write(sname)

@@ -2263,3 +2263,95 @@ def test_store_lifecycle_model_fuzz(spark, tmp_path, seed):
     # GC keeping only the live snapshot must not change the live view
     expire_snapshots(ChunkStore(out), keep_last=1)
     verify("driver")
+
+
+def test_branch_write_audit_publish(spark, tmp_path):
+    """Write-audit-publish: commits staged on a branch are invisible to
+    main readers, auditable via ref reads, survive GC, and publish to
+    main in one atomic fast-forward; a diverged main rejects the
+    fast-forward instead of discarding commits."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 1000).select(F.col("id"), (F.col("id") * 2)
+                                    .alias("v")),
+        out, salt_key="id", num_pids=2, resume=False)
+    store = ChunkStore(out)
+
+    # W: stage two commits on the branch — main stays at 1000 rows
+    for i in range(2):
+        encode_dataframe(
+            spark.range(1000 + i * 500, 1000 + (i + 1) * 500).select(
+                F.col("id"), (F.col("id") * 2).alias("v")),
+            out, salt_key="id", num_pids=2, resume=False, branch="audit")
+    assert decode_store(spark, out).count() == 1000
+    # A: audit the staged state through the ref (decode + owrc)
+    assert decode_store(spark, out, ref="audit").count() == 2000
+    from omi_cpp_parquet_wide_record_spark.sources.owrc_source import (
+        OwrcDataSource,
+    )
+    spark.dataSource.register(OwrcDataSource)
+    assert spark.read.format("owrc").option("ref", "audit").load(out) \
+        .count() == 2000
+    # GC with keep_last=1 must retain the unpublished branch lineage
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    expire_snapshots(store, keep_last=1)
+    assert decode_store(spark, out, ref="audit").count() == 2000
+    # P: one atomic pointer flip
+    rep = store.fast_forward("audit")
+    assert decode_store(spark, out).count() == 2000
+    assert rep["published"] == store.current_snapshot()["n"]
+
+    # divergence guard: main advances past the fork -> publish rejected
+    encode_dataframe(
+        spark.range(2000, 2100).select(F.col("id"), (F.col("id") * 2)
+                                       .alias("v")),
+        out, salt_key="id", num_pids=2, resume=False, branch="audit2")
+    encode_dataframe(
+        spark.range(3000, 3100).select(F.col("id"), (F.col("id") * 2)
+                                       .alias("v")),
+        out, salt_key="id", num_pids=2, resume=False)   # main moves
+    with pytest.raises(ValueError, match="not an ancestor"):
+        store.fast_forward("audit2")
+    store.drop_branch("audit2")
+    with pytest.raises(KeyError):
+        store.fast_forward("audit2")
+    # name hygiene: branch/tag namespaces are disjoint, 'main' reserved
+    store.create_tag("v9")
+    with pytest.raises(ValueError, match="collides"):
+        encode_dataframe(
+            spark.range(0, 10).select(F.col("id"), F.lit(1).alias("v")),
+            out, salt_key="id", resume=False, branch="v9")
+    with pytest.raises(ValueError, match="collides"):
+        store.create_tag("main")
+
+
+def test_branch_upsert_and_resume_read_branch_head(spark, tmp_path):
+    """Branch commits stage against the BRANCH head: an upsert on the
+    branch replaces rows staged there (not just main's), and the
+    branch's own lineage carries the equality delete."""
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 100).select(F.col("id"),
+                                   F.lit("old").alias("s")),
+        out, salt_key="id", num_pids=2, resume=False)
+    encode_dataframe(
+        spark.range(100, 200).select(F.col("id"),
+                                     F.lit("staged").alias("s")),
+        out, salt_key="id", num_pids=2, resume=False, branch="b")
+    # upsert on the branch replaces keys from BOTH prior commits
+    encode_dataframe(
+        spark.range(50, 150).select(F.col("id"),
+                                    F.lit("new").alias("s")),
+        out, salt_key="id", num_pids=2, resume=False, branch="b",
+        upsert_key="id")
+    got = {r.id: r.s for r in
+           decode_store(spark, out, ref="b").collect()}
+    assert len(got) == 200
+    assert got[49] == "old" and got[50] == "new"
+    assert got[149] == "new" and got[150] == "staged"
+    # main still untouched
+    assert decode_store(spark, out).count() == 100
+    ChunkStore(out).fast_forward("b")
+    assert decode_store(spark, out).count() == 200
