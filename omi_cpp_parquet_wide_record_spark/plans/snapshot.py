@@ -299,14 +299,15 @@ class ChunkStore:
         snap = self.current_snapshot()
         return set(snap["committed_pids"]) if snap else set()
 
-    def committed_run_ids(self) -> set[str]:
-        """Every run_id in the live snapshot's manifest lineage (commits
-        append parent manifests, so this covers the whole history) — the
-        epoch-level replay guard for streaming encode. Reads ONLY the
-        run_id column of each manifest: the streaming sink calls this per
-        micro-batch and a full manifest_table() read grew linearly with
-        stream history."""
-        snap = self.current_snapshot()
+    def committed_run_ids(self, snapshot: dict | None = None) -> set[str]:
+        """Every run_id in the live (or given — e.g. a branch head's)
+        snapshot's manifest lineage (commits append parent manifests, so
+        this covers the whole history) — the epoch-level replay guard
+        for streaming encode. Reads ONLY the run_id column of each
+        manifest: the streaming sink calls this per micro-batch and a
+        full manifest_table() read grew linearly with stream history."""
+        snap = snapshot if snapshot is not None \
+            else self.current_snapshot()
         if not snap:
             return set()
         out: set[str] = set()

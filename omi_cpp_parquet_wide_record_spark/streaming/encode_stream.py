@@ -99,7 +99,8 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
                   query_name: str = "owr_stream_encode",
                   checkpoint_dir: str | None = None,
                   sort_by: list[str] | None = None,
-                  upsert_key: str | None = None):
+                  upsert_key: str | None = None,
+                  branch: str | None = None):
     """Streaming encode: every micro-batch flows through encode_dataframe
     via foreachBatch; the snapshot commit per batch gives exactly-once
     output (replayed batches hit the resume anti-filter).
@@ -110,7 +111,12 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
     in ONE snapshot, so readers always see exactly one row per key no
     matter where the stream is interrupted. Replayed epochs are still
     skipped whole by the run_id guard (the original commit was atomic,
-    so a replay has nothing to repair)."""
+    so a replay has nothing to repair).
+
+    ``branch`` stages every micro-batch on a branch (streaming
+    write-audit-publish): main readers see nothing until
+    ``ChunkStore.fast_forward(branch)`` publishes the whole staged
+    stream atomically. The replay guard reads the BRANCH lineage."""
     import os
     import uuid
 
@@ -159,12 +165,15 @@ def stream_encode(spark: SparkSession, src_path: str, schema, out_dir: str,
         # collide with pids committed by earlier epochs — filtering on them
         # would silently drop data (ADVICE r1 #2).
         run_id = f"{_stream_id()}-epoch-{epoch_id}"
-        if run_id in ChunkStore(out_dir).committed_run_ids():
+        store = ChunkStore(out_dir)
+        guard_snap = store.branch_head(branch) if branch is not None \
+            else None
+        if run_id in store.committed_run_ids(guard_snap):
             return
         encode_dataframe(batch_df, out_dir, partition_by=partition_by,
                          salt_key=salt_key, num_pids=num_pids,
                          run_id=run_id, resume=False, sort_by=sort_by,
-                         upsert_key=upsert_key)
+                         upsert_key=upsert_key, branch=branch)
     return (src.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).queryName(query_name).start())

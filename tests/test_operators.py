@@ -863,3 +863,40 @@ def test_stream_encode_cdc_upsert(spark, tmp_path):
                        num_pids=2, query_name="t_cdc3", upsert_key="id")
     q3.awaitTermination(120)
     assert decode_store(spark, out).count() == 120
+
+
+def test_stream_encode_to_branch_then_publish(spark, tmp_path):
+    """Streaming write-audit-publish: micro-batches staged on a branch
+    are invisible to main until one atomic fast-forward, and the replay
+    guard reads the BRANCH lineage (a replayed epoch is skipped even
+    though main never saw it)."""
+    from omi_cpp_parquet_wide_record_spark.operators.decode import decode_store
+    from omi_cpp_parquet_wide_record_spark.operators.encode import (
+        encode_dataframe,
+    )
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import ChunkStore
+    from omi_cpp_parquet_wide_record_spark.streaming.encode_stream import (
+        stream_encode,
+    )
+    from pyspark.sql import functions as F
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 50).select(F.col("id"),
+                                  F.lit("base").alias("s")),
+        out, salt_key="id", num_pids=2, resume=False)
+    src_dir = str(tmp_path / "src")
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(100, 200)],
+                                "id long, s string")
+    df1.coalesce(1).write.parquet(src_dir)
+    q = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                      num_pids=2, query_name="t_br1", branch="stage")
+    q.awaitTermination(120)
+    assert decode_store(spark, out).count() == 50           # main blind
+    assert decode_store(spark, out, ref="stage").count() == 150
+    # replay from the same checkpoint: branch-lineage guard skips it
+    q2 = stream_encode(spark, src_dir, df1.schema, out, salt_key="id",
+                       num_pids=2, query_name="t_br2", branch="stage")
+    q2.awaitTermination(120)
+    assert decode_store(spark, out, ref="stage").count() == 150
+    ChunkStore(out).fast_forward("stage")
+    assert decode_store(spark, out).count() == 150
