@@ -124,6 +124,52 @@ class ChunkStore:
             json.dump(refs, f)
         os.replace(tmp, self.refs_path)
 
+    def _commit_lock(self, timeout_s: float = 120.0,
+                     stale_s: float = 600.0):
+        """Exclusive lock over the metadata critical section (parent
+        read -> snapshot/refs write -> pointer flip). Two concurrent
+        commits previously raced read-modify-write on `_current`/
+        `refs.json` — the loser's commit silently vanished from the
+        lineage. O_CREAT|O_EXCL on a lock file serializes writers on a
+        POSIX filesystem (commits are metadata-fast, so contention is
+        milliseconds); a holder that crashed is broken after
+        ``stale_s`` via the lock file's mtime. On an object store this
+        slot is where a catalog's atomic compare-and-swap goes —
+        exactly Iceberg's commit protocol."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _lock():
+            path = os.path.join(self.root, "_commit.lock")
+            deadline = time.time() + timeout_s
+            while True:
+                try:
+                    fd = os.open(path,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()}".encode())
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(path) > stale_s:
+                            os.remove(path)     # crashed holder
+                            continue
+                    except OSError:
+                        continue                # vanished: retry acquire
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"commit lock at {path} held for over "
+                            f"{timeout_s}s — concurrent writer stuck?")
+                    time.sleep(0.02)
+            try:
+                yield
+            finally:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+        return _lock()
+
     def create_tag(self, name: str, snapshot: int | None = None) -> dict:
         """Tag a committed snapshot (default: the live one). Rejects
         duplicates — retag by removing first (tags are immutable)."""
@@ -136,24 +182,26 @@ class ChunkStore:
         if snap is None:
             raise FileNotFoundError(f"no committed snapshot under "
                                     f"{self.root}")
-        refs = self.refs()
-        if name in refs["tags"]:
-            raise ValueError(f"tag {name!r} already exists "
-                             f"(at snapshot {refs['tags'][name]})")
-        if name == "main" or name in refs["branches"]:
-            raise ValueError(f"tag name {name!r} collides with 'main' "
-                             "or an existing branch")
-        refs["tags"][name] = int(snap["n"])
-        self._write_refs(refs)
+        with self._commit_lock():
+            refs = self.refs()
+            if name in refs["tags"]:
+                raise ValueError(f"tag {name!r} already exists "
+                                 f"(at snapshot {refs['tags'][name]})")
+            if name == "main" or name in refs["branches"]:
+                raise ValueError(f"tag name {name!r} collides with "
+                                 "'main' or an existing branch")
+            refs["tags"][name] = int(snap["n"])
+            self._write_refs(refs)
         return {"tag": name, "snapshot": int(snap["n"])}
 
     def remove_tag(self, name: str) -> dict:
-        refs = self.refs()
-        if name not in refs["tags"]:
-            raise KeyError(f"no tag {name!r} "
-                           f"(tags: {sorted(refs['tags'])})")
-        n = refs["tags"].pop(name)
-        self._write_refs(refs)
+        with self._commit_lock():
+            refs = self.refs()
+            if name not in refs["tags"]:
+                raise KeyError(f"no tag {name!r} "
+                               f"(tags: {sorted(refs['tags'])})")
+            n = refs["tags"].pop(name)
+            self._write_refs(refs)
         return {"tag": name, "snapshot": int(n)}
 
     def resolve_ref(self, ref: str) -> dict:
@@ -206,6 +254,10 @@ class ChunkStore:
         current main head to be an ancestor of the branch head (walked
         over parent_id), so a fast-forward can never silently discard
         main commits that landed after the fork."""
+        with self._commit_lock():
+            return self._fast_forward_locked(branch)
+
+    def _fast_forward_locked(self, branch: str) -> dict:
         refs = self.refs()
         if branch not in refs["branches"]:
             raise KeyError(f"no branch {branch!r} "
@@ -237,12 +289,13 @@ class ChunkStore:
         return {"branch": branch, "published": head_n}
 
     def drop_branch(self, branch: str) -> dict:
-        refs = self.refs()
-        if branch not in refs["branches"]:
-            raise KeyError(f"no branch {branch!r} "
-                           f"(branches: {sorted(refs['branches'])})")
-        n = refs["branches"].pop(branch)
-        self._write_refs(refs)
+        with self._commit_lock():
+            refs = self.refs()
+            if branch not in refs["branches"]:
+                raise KeyError(f"no branch {branch!r} "
+                               f"(branches: {sorted(refs['branches'])})")
+            n = refs["branches"].pop(branch)
+            self._write_refs(refs)
         return {"branch": branch, "snapshot": int(n)}
 
     def rollback_to(self, snapshot: int, run_id: str | None = None) -> dict:
@@ -252,12 +305,16 @@ class ChunkStore:
         number. History is preserved: the undone snapshots stay readable
         by time travel until GC expires them, and the rollback itself is
         one atomic pointer flip."""
+        with self._commit_lock():
+            return self._rollback_locked(snapshot, run_id)
+
+    def _rollback_locked(self, snapshot: int, run_id: str | None) -> dict:
         target = self.snapshot_at(int(snapshot))
         head = self.current_snapshot()
         if head is None:
             raise FileNotFoundError(f"no committed snapshot under "
                                     f"{self.root}")
-        n = head["n"] + 1
+        n = self._next_n()
         snap = {
             **target,
             "n": n,
@@ -482,10 +539,24 @@ class ChunkStore:
         branch ref instead of `_current` — main readers see nothing
         until ``fast_forward`` publishes the branch in one atomic
         pointer flip.
+
+        The whole parent-read -> write -> pointer-flip section runs
+        under the store's commit lock (see ``_commit_lock``), so
+        concurrent writers serialize instead of silently losing the
+        race on `_current`/`refs.json`.
         """
+        self.create()
+        with self._commit_lock():
+            return self._commit_locked(
+                manifest, schema, run_id, stats, replace, new_pids,
+                add_delete, rewrite_pids, column_aliases, retired_names,
+                branch)
+
+    def _commit_locked(self, manifest, schema, run_id, stats, replace,
+                       new_pids, add_delete, rewrite_pids,
+                       column_aliases, retired_names, branch) -> dict:
         import base64
         import re
-        self.create()
         if branch is not None:
             if not re.fullmatch(r"[A-Za-z0-9._-]+", branch):
                 raise ValueError(f"invalid branch name {branch!r} "

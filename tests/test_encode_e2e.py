@@ -2355,3 +2355,42 @@ def test_branch_upsert_and_resume_read_branch_head(spark, tmp_path):
     assert decode_store(spark, out).count() == 100
     ChunkStore(out).fast_forward("b")
     assert decode_store(spark, out).count() == 200
+
+
+def test_concurrent_commits_serialize_no_lost_update(tmp_path):
+    """The commit lock: N processes committing driver-held manifests
+    concurrently must ALL land in the final lineage (before the lock,
+    the read-modify-write race on `_current` silently dropped the
+    losers' commits). Pure metadata — no Spark session needed."""
+    import multiprocessing as mp
+    import pyarrow as pa
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+        MANIFEST_SCHEMA, ChunkStore,
+    )
+    out = str(tmp_path / "store")
+    schema = pa.schema([("k", pa.int64())])
+
+    def one_commit(i):
+        row = {f.name: [None] for f in MANIFEST_SCHEMA}
+        row.update({"chunk_file": [f"c{i}.owrc"], "pid": [i], "seq": [0],
+                    "column": ["k"], "codec": ["plain"], "params": ["{}"],
+                    "rows": [1], "nulls": [0], "bytes_in": [8],
+                    "bytes_out": [8], "offset": [0], "length": [8],
+                    "sha256": ["x"], "run_id": [f"r{i}"]})
+        ChunkStore(out).commit(
+            pa.table(row, schema=MANIFEST_SCHEMA), schema, f"r{i}")
+
+    procs = [mp.Process(target=one_commit, args=(i,)) for i in range(8)]
+    [p.start() for p in procs]
+    [p.join() for p in procs]
+    assert all(p.exitcode == 0 for p in procs)
+    store = ChunkStore(out)
+    snap = store.current_snapshot()
+    # every commit present exactly once, n strictly sequential
+    assert len(snap["manifests"]) == 8
+    assert sorted(store.committed_pids()) == list(range(8))
+    assert snap["n"] == 7
+    assert sorted(s["n"] for s in store.snapshots()) == list(range(8))
+    # the lock file is released
+    import os
+    assert not os.path.exists(os.path.join(out, "_commit.lock"))
