@@ -95,8 +95,11 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
         walk = by_n.get(int(n))
         while walk is not None:
             name, s = walk
-            if name in live and s["n"] != int(n):
-                break       # joined an already-retained lineage
+            if name == current:
+                break       # reached the published lineage (always live)
+            # retain the FULL chain — stopping at any other live
+            # snapshot could still strand the segment between it and
+            # main (e.g. a keep_last-retained mid-branch snapshot)
             live.add(name)
             walk = by_id.get(s.get("parent_id"))
     if current is not None and current in unparsable:
