@@ -469,7 +469,7 @@ def _spark_murmur3_int32(ks):
     return h1.astype(np.int32)
 
 
-def _exact_partition_key(num_pids: int, num_tasks: int):
+def _exact_partition_key(num_tasks: int):
     """Column expr routing pid p to shuffle partition p % num_tasks
     EXACTLY: Spark's hash partitioning places a row by
     pmod(murmur3(key), n), so for each target partition t we search (a
@@ -654,7 +654,7 @@ def encode_dataframe(
                                 max(spark.sparkContext
                                     .defaultParallelism * 2,
                                     -(-num_pids // 2)))
-                shuffle_key = _exact_partition_key(num_pids, num_tasks)
+                shuffle_key = _exact_partition_key(num_tasks)
             else:
                 num_tasks = base
         work = work.repartition(num_tasks, shuffle_key)

@@ -158,11 +158,16 @@ def evolve_schema(store_dir: str, drop: list[str] | None = None,
         else:
             fields.append(f)
     new_schema = pa.schema(fields)
+    # CAS: the new schema/aliases were DERIVED from `snap` — if another
+    # commit lands first (e.g. an append adding a column), committing the
+    # stale derivation would silently drop that column from the live
+    # schema. expected_parent_id makes the conflict loud instead.
     committed = store.commit([], new_schema,
                              run_id or _uuid.uuid4().hex,
                              new_pids=set(),
                              column_aliases=new_aliases,
-                             retired_names=sorted(retired))
+                             retired_names=sorted(retired),
+                             expected_parent_id=snap["snapshot_id"])
     return {"snapshot": committed["n"], "schema": new_schema.names,
             "dropped": drop, "renamed": rename}
 
@@ -215,32 +220,37 @@ def rewrite_small_chunks(spark: SparkSession, store_dir: str,
     m = store.manifest_table(snap, with_commit_n=True)   # live view
     if m.num_rows == 0:
         return {"rewritten_pids": [], "chunks_before": 0, "chunks_after": 0}
-    ref_col = m.column("column")[0].as_py()
-    sub = m.filter(pc.equal(m.column("column"), ref_col))
-    gb = sub.group_by("pid").aggregate([("rows", "sum"),
-                                        ("chunk_file", "count")])
+    # one row per (pid, chunk FILE): every column of a chunk shares its
+    # row count, and a chunk may LACK any particular column (add-column
+    # evolution, post-drop appends) — the old reference-column filter
+    # (first manifest row's column name) silently omitted such chunks
+    # from the rewrite while pid_rewrites hid their rows: row loss
+    files_t = m.group_by(["pid", "chunk_file"]).aggregate(
+        [("rows", "max"), ("commit_n", "max")])
+    gb = files_t.group_by("pid").aggregate([("rows_max", "sum"),
+                                            ("chunk_file", "count")])
     cand: list[int] = []
     for pid, rows_, nchunks in zip(gb.column("pid").to_pylist(),
-                                   gb.column("rows_sum").to_pylist(),
+                                   gb.column("rows_max_sum").to_pylist(),
                                    gb.column("chunk_file_count").to_pylist()):
         if pids is not None:
             if pid in set(int(p) for p in pids):
                 cand.append(int(pid))
         elif nchunks >= 2 and rows_ / nchunks < min_avg_frac * target_rows:
             cand.append(int(pid))
-    chunks_before = sub.num_rows
+    chunks_before = files_t.num_rows
     if not cand:
         return {"rewritten_pids": [], "chunks_before": chunks_before,
                 "chunks_after": chunks_before}
 
     # (pid -> ordered [(chunk_file, commit_n)]) from the live manifest view
-    want = sub.filter(pc.is_in(sub.column("pid"),
-                               value_set=pa.array(sorted(cand),
-                                                  type=pa.int32())))
+    want = files_t.filter(pc.is_in(files_t.column("pid"),
+                                   value_set=pa.array(sorted(cand),
+                                                      type=pa.int32())))
     per_pid: dict[int, list[tuple[str, int]]] = {}
     for pid, f, n in zip(want.column("pid").to_pylist(),
                          want.column("chunk_file").to_pylist(),
-                         want.column("commit_n").to_pylist()):
+                         want.column("commit_n_max").to_pylist()):
         per_pid.setdefault(int(pid), []).append((f, int(n)))
     for v in per_pid.values():
         v.sort(key=lambda t: (t[1], t[0]))
@@ -335,11 +345,16 @@ def rewrite_small_chunks(spark: SparkSession, store_dir: str,
     summaries = fdf.mapInArrow(task, _summary_ddl()).toArrow() \
         .cast(SUMMARY_SCHEMA)
     shard_files = sorted(set(summaries.column("shard_file").to_pylist()))
+    # CAS: the rewrite read its file plan (and materialized deletes) from
+    # `snap` — rows appended or deleted for a selected pid while the
+    # Spark job ran would be hidden by pid_rewrites without having been
+    # rewritten (row loss / delete resurrection). A moved head fails the
+    # commit loudly; the orphaned rewrite chunks are GC-able.
     store.commit(shard_files, schema, run_id,
-                 new_pids=set(cand), rewrite_pids=set(cand))
+                 new_pids=set(cand), rewrite_pids=set(cand),
+                 expected_parent_id=snap["snapshot_id"])
     after = store.manifest_table()
-    chunks_after = after.filter(
-        pc.equal(after.column("column"), ref_col)).num_rows
+    chunks_after = len(pc.unique(after.column("chunk_file")))
     return {"rewritten_pids": sorted(cand),
             "chunks_before": chunks_before,
             "chunks_after": chunks_after}

@@ -144,13 +144,18 @@ def metadata_table(spark: SparkSession, store_dir: str, kind: str,
     files = _files_df(spark, store, snap)
     if kind == "files":
         return files
-    # partitions: per-pid rollup; rows counted once via the first live
-    # column (every column of a chunk holds the same row count)
-    first_col = store.arrow_schema(snap).names[0]
-    return (files.groupBy("pid")
+    # partitions: per-pid rollup. Rows are counted per chunk FILE (every
+    # column of a chunk shares its row count, but a chunk may LACK any
+    # particular column under schema evolution — a first-live-column
+    # filter under-counted pre-add-column chunks to zero)
+    per_chunk = (files.groupBy("pid", "chunk_file")
+                 .agg(F.max("rows").alias("c_rows"),
+                      F.sum("bytes_in").alias("c_bi"),
+                      F.sum("bytes_out").alias("c_bo"),
+                      F.max("commit_n").alias("c_n")))
+    return (per_chunk.groupBy("pid")
             .agg(F.count("*").alias("chunks"),
-                 F.sum(F.when(F.col("column") == first_col,
-                              F.col("rows")).otherwise(0)).alias("rows"),
-                 F.sum("bytes_in").alias("bytes_in"),
-                 F.sum("bytes_out").alias("bytes_out"),
-                 F.max("commit_n").alias("last_commit_n")))
+                 F.sum("c_rows").alias("rows"),
+                 F.sum("c_bi").alias("bytes_in"),
+                 F.sum("c_bo").alias("bytes_out"),
+                 F.max("c_n").alias("last_commit_n")))

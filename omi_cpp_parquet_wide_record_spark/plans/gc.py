@@ -66,7 +66,6 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
     keep_last = max(int(keep_last), 0)
     snaps, unparsable = _load_snapshots(store)
     names = [n for n, _ in snaps]
-    live = set(names[-keep_last:] if keep_last > 0 else [])
     # the snapshot _current points to is live unconditionally — a crash
     # between snapshot-json write and the pointer flip leaves a lexically
     # newer snapshot file that _current does NOT reference; keep-last must
@@ -75,6 +74,28 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
     if os.path.exists(store.current_path):
         with open(store.current_path) as f:
             current = f.read().strip()
+    # tolerate minimal/foreign snapshot JSON (missing ids): such entries
+    # simply can't participate in ancestry walks
+    by_id = {s["snapshot_id"]: (name, s) for name, s in snaps
+             if "snapshot_id" in s}
+    by_n = {s["n"]: (name, s) for name, s in snaps if "n" in s}
+    by_name = dict(snaps)
+    # keep_last counts MAIN-LINEAGE snapshots (the parent chain from
+    # `_current`), not the interleaved global n sequence: branch-staged
+    # snapshots share the global numbering, so "newest K by n" could be
+    # all branch commits — expiring the main history the operator asked
+    # to keep for time travel
+    main_chain: list[str] = []
+    walk = (current, by_name.get(current)) if current in by_name else None
+    while walk is not None and walk[1] is not None:
+        main_chain.append(walk[0])
+        walk = by_id.get(walk[1].get("parent_id"))
+    if not main_chain:
+        # no pointer yet (crash before the first flip) or foreign
+        # minimal snapshots: fall back to global newest-K
+        main_chain = list(reversed(names))
+    live = set(main_chain[:keep_last] if keep_last > 0 else [])
+    if current is not None:
         live.add(current)
     # ref'd snapshots are retained unconditionally (Iceberg ref
     # retention): tags are durable handles and branch heads are
@@ -86,11 +107,6 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
     refs = store.refs()
     for n in refs.get("tags", {}).values():
         live.add(f"snapshot-{int(n):05d}.json")
-    # tolerate minimal/foreign snapshot JSON (missing ids): such entries
-    # simply can't participate in the ancestry walk
-    by_id = {s["snapshot_id"]: (name, s) for name, s in snaps
-             if "snapshot_id" in s}
-    by_n = {s["n"]: (name, s) for name, s in snaps if "n" in s}
     for n in refs.get("branches", {}).values():
         walk = by_n.get(int(n))
         while walk is not None:
@@ -107,7 +123,6 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
             f"live snapshot {current} is unreadable — refusing to GC a "
             "broken store")
     dead = [n for n in names if n not in live] + unparsable
-    by_name = dict(snaps)
     live_manifests: set[str] = set()
     for name in sorted(live):
         if name in by_name:
@@ -124,6 +139,13 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
     orphans = _remove_orphan_chunks(store, retained, older_than_s)
     removed_deletes = _remove_orphan_delete_files(store, retained,
                                                  older_than_s)
+    # broken-lock debris (renamed by _commit_lock's stale breaking)
+    for f in os.listdir(store.root):
+        if f.startswith("_commit.lock.stale."):
+            try:
+                os.remove(os.path.join(store.root, f))
+            except OSError:
+                pass
     return {"removed_snapshots": dead,
             "removed_manifests": removed_manifests,
             "removed_orphan_chunks": orphans,

@@ -64,6 +64,12 @@ MANIFEST_SCHEMA = pa.schema([
 ])
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the table head moved between the
+    snapshot a commit was derived from and the commit itself (Iceberg's
+    validation failure). Re-derive and retry."""
+
+
 class ChunkStore:
     def __init__(self, root: str):
         self.root = root
@@ -142,17 +148,26 @@ class ChunkStore:
         def _lock():
             path = os.path.join(self.root, "_commit.lock")
             deadline = time.time() + timeout_s
+            token = f"{os.getpid()}-{uuid.uuid4().hex}"
             while True:
                 try:
                     fd = os.open(path,
                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.write(fd, f"{os.getpid()}".encode())
+                    os.write(fd, token.encode())
                     os.close(fd)
                     break
                 except FileExistsError:
                     try:
                         if time.time() - os.path.getmtime(path) > stale_s:
-                            os.remove(path)     # crashed holder
+                            # break a crashed holder by RENAME, not
+                            # remove: two waiters both judging the lock
+                            # stale race their breaks, and a remove
+                            # could delete the lock a faster waiter
+                            # already re-acquired (double-holder); only
+                            # ONE rename of the same source succeeds,
+                            # the loser gets ENOENT and loops
+                            os.rename(path, path +
+                                      f".stale.{uuid.uuid4().hex[:8]}")
                             continue
                     except OSError:
                         continue                # vanished: retry acquire
@@ -164,8 +179,14 @@ class ChunkStore:
             try:
                 yield
             finally:
+                # release only OUR lock: if this holder overran stale_s
+                # and a waiter broke+reacquired, the file now carries a
+                # different token — removing it would unseat the new
+                # holder (double-holder)
                 try:
-                    os.remove(path)
+                    with open(path) as f:
+                        if f.read() == token:
+                            os.remove(path)
                 except OSError:
                     pass
         return _lock()
@@ -266,17 +287,15 @@ class ChunkStore:
         head = self.snapshot_at(head_n)
         cur = self.current_snapshot()
         if cur is not None:
+            # one snapshots() load, dict-walked — the per-ancestor
+            # re-scan was O(chain x snapshots) file reads under the lock
+            by_id = {s["snapshot_id"]: s for s in self.snapshots()
+                     if "snapshot_id" in s}
             ids = set()
             walk: dict | None = head
             while walk is not None:
                 ids.add(walk["snapshot_id"])
-                pid = walk.get("parent_id")
-                walk = None
-                if pid is not None:
-                    for s in self.snapshots():
-                        if s["snapshot_id"] == pid:
-                            walk = s
-                            break
+                walk = by_id.get(walk.get("parent_id"))
             if cur["snapshot_id"] not in ids:
                 raise ValueError(
                     f"cannot fast-forward: main head {cur['n']} is not "
@@ -492,7 +511,8 @@ class ChunkStore:
                rewrite_pids: set[int] | None = None,
                column_aliases: dict[str, list[str]] | None = None,
                retired_names: list[str] | None = None,
-               branch: str | None = None) -> dict:
+               branch: str | None = None,
+               expected_parent_id: str | None = None) -> dict:
         """Append a manifest and flip the snapshot pointer atomically.
 
         ``manifest`` is either a driver-held Arrow table (written here as
@@ -544,17 +564,26 @@ class ChunkStore:
         under the store's commit lock (see ``_commit_lock``), so
         concurrent writers serialize instead of silently losing the
         race on `_current`/`refs.json`.
+
+        ``expected_parent_id`` is the optimistic-concurrency check
+        (Iceberg's commit CAS): the caller derived this commit's
+        content from a snapshot read BEFORE the lock — schema
+        evolution from the head schema, a pid rewrite from a planned
+        file set — and a head that moved in between would make that
+        derivation stale (lost columns, lost rows). On mismatch the
+        commit raises ``CommitConflict`` instead of clobbering.
         """
         self.create()
         with self._commit_lock():
             return self._commit_locked(
                 manifest, schema, run_id, stats, replace, new_pids,
                 add_delete, rewrite_pids, column_aliases, retired_names,
-                branch)
+                branch, expected_parent_id)
 
     def _commit_locked(self, manifest, schema, run_id, stats, replace,
                        new_pids, add_delete, rewrite_pids,
-                       column_aliases, retired_names, branch) -> dict:
+                       column_aliases, retired_names, branch,
+                       expected_parent_id=None) -> dict:
         import base64
         import re
         if branch is not None:
@@ -568,6 +597,14 @@ class ChunkStore:
             parent = self.branch_head(branch)
         else:
             parent = self.current_snapshot()
+        if expected_parent_id is not None and (
+                parent is None
+                or parent.get("snapshot_id") != expected_parent_id):
+            raise CommitConflict(
+                f"head moved since this commit was derived (expected "
+                f"parent {expected_parent_id}, found "
+                f"{parent.get('snapshot_id') if parent else None}) — "
+                "re-derive against the new head and retry")
         n = self._next_n()
         if isinstance(manifest, list):
             if new_pids is None:
@@ -674,12 +711,22 @@ class ChunkStore:
         """Merge-on-read row deletes (Iceberg equality-delete files): write
         the key values as a delete file and commit a snapshot that carries
         it; readers anti-join the keys at decode time. Data chunks are
-        untouched — compaction can materialize the deletes later."""
+        untouched — compaction can materialize the deletes later.
+
+        Runs under the commit lock with the GLOBAL commit-number
+        sequence: the old parent.n+1 numbering could collide with (and
+        os.replace!) a branch-staged snapshot file sharing that n, and
+        the unlocked read-modify-write raced concurrent commits."""
         self.create()
+        with self._commit_lock():
+            return self._commit_deletes_locked(keys, key_col, run_id)
+
+    def _commit_deletes_locked(self, keys: pa.Table, key_col: str,
+                               run_id: str) -> dict:
         parent = self.current_snapshot()
         if parent is None:
             raise FileNotFoundError("cannot delete from an empty store")
-        n = parent["n"] + 1
+        n = self._next_n()
         dname = f"delete-{n:05d}-{uuid.uuid4().hex[:8]}.parquet"
         pq.write_table(keys, os.path.join(self.deletes_dir, dname))
         snap = dict(parent)
@@ -722,9 +769,12 @@ class ChunkStore:
                 "bytes_out": pc.sum(sub.column("bytes_out")).as_py(),
                 "chunks": sub.num_rows,
             }
+        # rows per chunk FILE (max over its column rows — identical by
+        # construction), summed: a first-column filter under-counted
+        # chunks lacking that column (schema evolution)
+        _per_file = m.group_by("chunk_file").aggregate([("rows", "max")])
         return {"chunks": m.num_rows, "pids": len(set(m.column("pid").to_pylist())),
-                "rows": pc.sum(m.column("rows").filter(
-                    pc.equal(m.column("column"),
-                             m.column("column")[0]))).as_py() if m.num_rows else 0,
+                "rows": pc.sum(_per_file.column("rows_max")).as_py()
+                if m.num_rows else 0,
                 "bytes_in": bi, "bytes_out": bo,
                 "ratio": (bi / bo) if bo else None, "by_codec": by_codec}

@@ -2127,7 +2127,7 @@ def test_exact_partition_key_matches_spark_hash(spark):
     # layout: 123 pids into 50 partitions -> every partition holds
     # ceil/floor(123/50) pids, none empty, zero collisions beyond that
     num_pids, T = 123, 50
-    key = _exact_partition_key(num_pids, T)
+    key = _exact_partition_key(T)
     df = spark.range(0, num_pids * 4).select(
         (F.col("id") % num_pids).cast("int").alias(PID_COL))
 
@@ -2394,3 +2394,123 @@ def test_concurrent_commits_serialize_no_lost_update(tmp_path):
     # the lock file is released
     import os
     assert not os.path.exists(os.path.join(out, "_commit.lock"))
+
+
+def test_delete_after_branch_stage_no_clobber(spark, tmp_path):
+    """commit_deletes shares the global commit-number sequence and the
+    commit lock: with a branch-staged snapshot at n=1, a main-side
+    delete must take n=2 — the old parent.n+1 numbering os.replace()d
+    the staged snapshot file, destroying the branch commit."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        delete_rows,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 200).select(F.col("id"), (F.col("id") * 2)
+                                   .alias("v")),
+        out, salt_key="id", num_pids=2, resume=False)
+    encode_dataframe(
+        spark.range(200, 300).select(F.col("id"), (F.col("id") * 2)
+                                     .alias("v")),
+        out, salt_key="id", num_pids=2, resume=False, branch="b")
+    delete_rows(out, spark.range(0, 50).select("id"), "id")
+    store = ChunkStore(out)
+    assert store.current_snapshot()["n"] == 2       # NOT 1
+    assert decode_store(spark, out).count() == 150
+    # the staged branch commit survived intact
+    assert decode_store(spark, out, ref="b").count() == 300
+    # and main genuinely diverged (the delete), so the ancestry guard
+    # correctly refuses to publish the now-stale branch
+    with pytest.raises(ValueError, match="not an ancestor"):
+        store.fast_forward("b")
+
+
+def test_rewrite_covers_chunks_missing_first_column(spark, tmp_path):
+    """Rewrite selection must enumerate chunk FILES per pid, not rows of
+    one reference column: chunks lacking that column (appended after a
+    drop evolution) were previously omitted from the rewrite while
+    pid_rewrites hid their rows — silent row loss."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.operators.maintenance import (
+        evolve_schema, rewrite_small_chunks,
+    )
+    out = str(tmp_path / "store")
+    # 'a' first so it becomes the old code's reference column
+    encode_dataframe(
+        spark.range(0, 500).select((F.col("id") * 3).alias("a"),
+                                   F.col("id").alias("k")),
+        out, salt_key="k", num_pids=2, chunk_rows=50, resume=False)
+    evolve_schema(out, drop=["a"])
+    # post-drop chunks carry only k — no 'a' rows in their manifests
+    encode_dataframe(
+        spark.range(500, 1000).select(F.col("id").alias("k")),
+        out, salt_key="k", num_pids=2, chunk_rows=50, resume=False)
+    assert decode_store(spark, out).count() == 1000
+    res = rewrite_small_chunks(spark, out, target_rows=100000)
+    assert res["rewritten_pids"]
+    got = decode_store(spark, out)
+    assert got.count() == 1000
+    assert sorted(r.k for r in got.collect()) == list(range(1000))
+    # partitions metadata agrees (per-chunk row counting)
+    from omi_cpp_parquet_wide_record_spark.operators.metadata import (
+        metadata_table,
+    )
+    parts = metadata_table(spark, out, "partitions").collect()
+    assert sum(r.rows for r in parts) == 1000
+
+
+def test_commit_cas_rejects_moved_head(spark, tmp_path):
+    """expected_parent_id is the optimistic-concurrency check: a commit
+    derived from a stale head fails loudly instead of clobbering."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.plans.snapshot import (
+        CommitConflict,
+    )
+    out = str(tmp_path / "store")
+    encode_dataframe(
+        spark.range(0, 100).select(F.col("id"), (F.col("id") % 3)
+                                   .alias("g")),
+        out, salt_key="id", num_pids=2, resume=False)
+    store = ChunkStore(out)
+    stale_id = store.current_snapshot()["snapshot_id"]
+    # head moves
+    encode_dataframe(
+        spark.range(100, 200).select(F.col("id"), (F.col("id") % 3)
+                                     .alias("g")),
+        out, salt_key="id", num_pids=2, resume=False)
+    schema = store.arrow_schema()
+    with pytest.raises(CommitConflict, match="head moved"):
+        store.commit([], schema, "r-cas", new_pids=set(),
+                     expected_parent_id=stale_id)
+    # matching id commits fine
+    store.commit([], schema, "r-cas2", new_pids=set(),
+                 expected_parent_id=store.current_snapshot()["snapshot_id"])
+
+
+def test_gc_keep_last_counts_main_lineage_only(spark, tmp_path):
+    """keep_last retention is per MAIN lineage: branch-staged snapshots
+    share the global commit numbering, so 'newest K by n' used to evict
+    main-history snapshots the operator asked to keep."""
+    from pyspark.sql import functions as F
+    from omi_cpp_parquet_wide_record_spark.plans.gc import expire_snapshots
+    out = str(tmp_path / "store")
+    for i in range(3):      # main n = 0, 1, 2
+        encode_dataframe(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id"), (F.col("id") * 2).alias("v")),
+            out, salt_key="id", num_pids=2, resume=False)
+    for i in range(2):      # branch n = 3, 4
+        encode_dataframe(
+            spark.range(1000 + i * 100, 1000 + (i + 1) * 100).select(
+                F.col("id"), (F.col("id") * 2).alias("v")),
+            out, salt_key="id", num_pids=2, resume=False, branch="b")
+    expire_snapshots(ChunkStore(out), keep_last=2)
+    # the 2 newest MAIN snapshots (1, 2) survive for time travel
+    assert decode_store(spark, out, snapshot=1).count() == 200
+    assert decode_store(spark, out, snapshot=2).count() == 300
+    with pytest.raises(FileNotFoundError):
+        decode_store(spark, out, snapshot=0).count()
+    # the staged branch is untouched
+    assert decode_store(spark, out, ref="b").count() == 500
