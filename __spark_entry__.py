@@ -385,6 +385,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to NULL (DuckDB's list_sum skips NULL elements). size(NULL) stays
         # NULL on both sides (legacy.sizeOfNull pinned false in _tune).
         zero = F.lit(0).cast("long")
+        # esum_fp is DECIMAL(38,0), not BIGINT: DuckDB's list_sum over a
+        # BIGINT list returns HUGEINT (arrow decimal128(38,0) -> Decimal
+        # cells), and the driver's value normalization distinguishes
+        # Decimal from int even when numerically equal (the sessionize
+        # HUGEINT lesson, in reverse: the oracle text is what it is, so
+        # the Spark side mirrors its result class). The long fold is
+        # exact; the final cast widens losslessly.
         return dec.select(
             "vec_id", "label",
             F.size("embedding").alias("dim"),
@@ -394,7 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     lambda a, x: a + F.coalesce(
                         F.floor(x.cast("double")
                                 * F.lit(1048576.0)).cast("long"), zero)
-                ), zero).alias("esum_fp"))
+                ), zero).cast("decimal(38,0)").alias("esum_fp"))
     q["codec_for_roundtrip"] = _for_list_roundtrip
     # ALP (decimal floats, r5): TPC-H money/rate doubles scale to exact
     # 10^e digits; decode is bit-identical so raw doubles compare safely.

@@ -1,7 +1,18 @@
 """Local replica of the driver's correctness gate: run every queries() entry
 on Spark and its oracle_sql() on DuckDB at the same sf, compare row count,
-column names, and an order-insensitive value hash. Usage:
+column names, result TYPE FAMILIES, and an order-insensitive value hash.
 
+Type faithfulness (r6): the driver's normalization distinguishes value
+classes — DuckDB HUGEINT/DECIMAL results surface as decimal.Decimal cells
+(via Arrow), which hash differently from Spark's int/float even when
+numerically equal (the sessionize/codec_for lesson, red twice). The oracle
+side is therefore fetched through .arrow() (the type-preserving path) and
+every cell is normalized WITH its class tag, so a BIGINT-vs-HUGEINT or
+int-vs-double divergence fails HERE before it fails on the driver. Integer
+widths (int32 vs int64) are deliberately the same family — the driver is
+proven insensitive to them (scalar_array n_words, green for rounds).
+
+Usage:
     python tools/validate_oracle.py [sf_dir] [query ...]
 """
 
@@ -21,19 +32,75 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm_cell(v):
     import datetime
     import math
+    from decimal import Decimal
+    if v is None:
+        return "\x00"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        if math.isinf(v):           # int(inf) raises OverflowError, which
-            return repr(v)          # would be misreported as an engine error
-        if v == int(v) and abs(v) < 2**53:
-            return str(int(v))
-        return repr(v)
+            return "f:NaN"
+        if math.isinf(v):
+            return f"f:{v!r}"
+        # NO int collapse: 42.0 must hash as a float, not as 42 — the
+        # driver's normalization keeps the class (codec_for red row)
+        return f"f:{v!r}"
+    if isinstance(v, Decimal):
+        # HUGEINT/DECIMAL results: a distinct class on the driver too
+        return f"d:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return f"t:{v.isoformat()}"
+    if isinstance(v, datetime.date):
+        return f"t:{v.isoformat()}"
     if isinstance(v, (bytes, bytearray)):   # PySpark binary cells are
-        return bytes(v).hex()               # bytearray, not bytes
-    return str(v)
+        return f"y:{bytes(v).hex()}"        # bytearray, not bytes
+    if isinstance(v, (list, tuple)):
+        return "l:[" + ",".join(norm_cell(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def _spark_family(dt) -> str:
+    from pyspark.sql import types as T
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "time"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_family(dt.elementType)}>"
+    return dt.simpleString()
+
+
+def _arrow_family(dt) -> str:
+    import pyarrow as pa
+    if pa.types.is_integer(dt):
+        return "int"
+    if pa.types.is_floating(dt):
+        return "float"
+    if pa.types.is_decimal(dt):
+        return "decimal"
+    if pa.types.is_string(dt) or pa.types.is_large_string(dt):
+        return "str"
+    if pa.types.is_boolean(dt):
+        return "bool"
+    if pa.types.is_temporal(dt):
+        return "time"
+    if pa.types.is_binary(dt) or pa.types.is_large_binary(dt):
+        return "bytes"
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        return f"list<{_arrow_family(dt.value_type)}>"
+    return str(dt)
 
 
 def table_hash(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
@@ -69,6 +136,8 @@ def main():
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
+            sfam = {f.name: _spark_family(f.dataType)
+                    for f in sdf.schema.fields}
             sn, sh = table_hash(scols, [tuple(r) for r in srows])
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__} {e}")
@@ -79,20 +148,30 @@ def main():
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # .arrow() preserves the result's type classes (HUGEINT ->
+            # decimal128 -> Decimal cells), exactly the lens the driver
+            # judges through; fetchall() would collapse them to int
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.schema.names
+            ofam = {f.name: _arrow_family(f.type) for f in tbl.schema}
+            orows = [tuple(d.values()) for d in tbl.to_pylist()]
             on, oh = table_hash(ocols, orows)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             fails.append(name)
             continue
-        status = "ok  " if (sn, sh) == (on, oh) and sorted(scols) == sorted(ocols) \
-            else "FAIL"
+        fam_mismatch = {c: (sfam.get(c), ofam.get(c))
+                        for c in set(scols) & set(ocols)
+                        if sfam.get(c) != ofam.get(c)}
+        ok = ((sn, sh) == (on, oh) and sorted(scols) == sorted(ocols)
+              and not fam_mismatch)
+        status = "ok  " if ok else "FAIL"
         print(f"{status} {name}: spark={sn}/{sh} duck={on}/{oh} "
               f"cols={'=' if sorted(scols) == sorted(ocols) else (scols, ocols)}"
               f" [{time.time()-t0:.1f}s]")
-        if status == "FAIL":
+        if fam_mismatch:
+            print(f"     TYPE-FAMILY mismatch (spark, duck): {fam_mismatch}")
+        if not ok:
             fails.append(name)
             # show a sample diff
             sset = {tuple(norm_cell(v) for v in r) for r in
