@@ -405,8 +405,12 @@ def _assign_codes_from_freq(freq_full: np.ndarray,
                 out.append(ESCAPE)
                 out.append(s)
         enc_seqs.append(bytes(out))
-    enc_w = np.array([len(s) for s in enc_seqs], dtype=np.int32)
-    enc_off = np.zeros(_KSPACE, dtype=np.int64)
+    # uint8 widths / int32 offsets: every per-token gather in _assemble
+    # then touches 1-4 bytes instead of 4-8 (an encoding is at most 16
+    # bytes — 8 expanded literals, each possibly escaped; the flat table
+    # is a few KB, so int32 offsets always fit)
+    enc_w = np.array([len(s) for s in enc_seqs], dtype=np.uint8)
+    enc_off = np.zeros(_KSPACE, dtype=np.int32)
     np.cumsum(enc_w[:-1], out=enc_off[1:])
     enc_flat = np.frombuffer(b"".join(enc_seqs), dtype=np.uint8)
     return table, enc_flat, enc_off, enc_w
@@ -418,11 +422,14 @@ def _assemble(p: np.ndarray, enc_flat: np.ndarray, enc_off: np.ndarray,
     byte sequence (code, ESCAPE+literal, or demoted expansion; sentinels
     emit zero bytes, so no strip pass). Writes are purely sequential;
     index math stays int32 while the block fits."""
-    w = enc_w[p]
-    ends = np.cumsum(w, dtype=np.int64)
-    total = int(ends[-1]) if len(ends) else 0
+    w = enc_w[p]                            # uint8: 1 byte per token
+    total = int(w.sum(dtype=np.int64))
     it = np.int32 if total < 2**31 - 8 else np.int64
-    src = np.repeat((enc_off[p] - (ends - w)).astype(it), w)
+    ends = np.cumsum(w, dtype=it)
+    src0 = enc_off[p].astype(it, copy=False)
+    np.subtract(src0, ends, out=src0)
+    src0 += w                               # enc_off[p] - (ends - w)
+    src = np.repeat(src0, w)
     src += np.arange(total, dtype=it)
     return enc_flat[src]
 
@@ -617,11 +624,6 @@ class FsstCodec(Codec):
         ncodes = params["ncodes"]
         tab_lens = np.frombuffer(sections[0], dtype=np.uint8, count=ncodes)
         tab_flat = np.frombuffer(sections[1], dtype=np.uint8)
-        tab_off = np.zeros(256, dtype=np.int64)
-        np.cumsum(tab_lens[:-1] if ncodes else tab_lens,
-                  out=tab_off[1:ncodes])
-        code_len = np.ones(256, dtype=np.int64)
-        code_len[:ncodes] = tab_lens
 
         # escape parsing on the 0xFF-position SUBSET: inside each run of
         # consecutive 0xFF bytes the even-offset ones are escape markers,
@@ -648,20 +650,34 @@ class FsstCodec(Codec):
         tok[marker_pos] = True               # the marker is the token
         tok_pos = np.flatnonzero(tok)
         codes = enc[tok_pos]
-        tok_esc = codes == ESCAPE            # markers are the only ESCAPEs
-        widths = np.where(tok_esc, 1, code_len[codes])
-        ends = np.cumsum(widths, dtype=np.int64)
-        total = int(ends[-1]) if len(ends) else 0
+        # widths via a 256-entry uint8 LUT: codes are 0..ncodes-1 < 255, so
+        # the ESCAPE slot keeps width 1 naturally — this replaces the old
+        # int64 np.where/code_len chain (8x the bytes on a memory-bound
+        # kernel; the LUT gather touches 1 byte per token)
+        code_len8 = np.ones(256, dtype=np.uint8)
+        code_len8[:ncodes] = tab_lens
+        widths = code_len8[codes]
+        total = int(widths.sum(dtype=np.int64))
 
         # single-gather expansion: every output byte reads from an extended
         # source [symbol table | encoded stream] — table reads stay
         # cache-resident, the output writes are purely sequential (the old
         # per-code scatter loop wrote to random positions, DRAM-hostile);
-        # int32 index math while the chunk fits
+        # int32 index math while the chunk fits, and every full-length
+        # temporary stays at most 4 bytes wide (the memory-bound budget)
         big = np.concatenate([tab_flat, enc])
         it = np.int32 if max(total, len(big)) < 2**31 - 8 else np.int64
-        src0 = np.where(tok_esc, len(tab_flat) + tok_pos + 1, tab_off[codes])
-        src = np.repeat((src0 - (ends - widths)).astype(it), widths)
+        ends = np.cumsum(widths, dtype=it)
+        tab_off = np.zeros(256, dtype=it)
+        np.cumsum(tab_lens[:-1] if ncodes else tab_lens,
+                  out=tab_off[1:ncodes])
+        src0 = tab_off[codes]
+        if len(marker_pos):
+            esc = np.flatnonzero(codes == ESCAPE)  # markers: the only ESCAPEs
+            src0[esc] = (tok_pos[esc] + (len(tab_flat) + 1)).astype(it)
+        np.subtract(src0, ends, out=src0)
+        src0 += widths                        # src0 - (ends - widths)
+        src = np.repeat(src0, widths)
         src += np.arange(total, dtype=it)
         out = big[src]
         assert int(lengths.sum()) == len(out), "fsst decode length mismatch"

@@ -274,7 +274,19 @@ def _write_chunk(chunks_dir: str, pid: int, seq: int, table: pa.Table,
         key = (run_id, gkey, name)   # run-scoped: jobs never share plans
         forced = (overrides or {}).get(name)
         if key not in plan_cache:
-            plan_cache[key] = forced or choose_codec(arr).codec
+            if forced:
+                plan_cache[key] = forced
+            else:
+                ch = choose_codec(arr)
+                plan_cache[key] = ch.codec
+                # seed the shared-state slot with the winning trial's
+                # trained plan: the first real encode then REPLAYS what
+                # the trial already trained instead of training again
+                # (the drift guard retrains if the full column stops
+                # matching the sampled distribution)
+                seeded = (ch.plans or {}).get(ch.codec)
+                if seeded:
+                    plan_cache[key + ("shared",)] = seeded
         # cross-chunk codec state (FSST trained tables): same scope as the
         # codec choice — chunks of one partition value share a distribution
         shared = plan_cache.setdefault(key + ("shared",), {})

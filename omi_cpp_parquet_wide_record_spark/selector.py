@@ -36,6 +36,9 @@ class Choice:
     codec: str
     est_ratio: float          # sample bytes_in / sample payload bytes
     trials: dict[str, int]    # codec -> sample payload bytes
+    # trial-trained shared plans (codec -> shared dict), reusable by the
+    # real encode so trial-training is not paid twice per distribution
+    plans: dict | None = None
 
 
 def candidates_for(arr: pa.Array) -> list[str]:
@@ -113,11 +116,24 @@ def sample_array(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS,
 def choose_codec(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS) -> Choice:
     sample = sample_array(arr, max_rows)
     trials: dict[str, int] = {}
+    plans: dict[str, dict] = {}
     bytes_in = None
     for name in candidates_for(sample):
+        # trials SHARE trained state where the codec supports it: the
+        # fsst2 trial replays the fsst trial's pass-1 plan instead of
+        # retraining it on the same sample, and the winning plan is
+        # handed to the caller (Choice.plans) so the real encode replays
+        # instead of training a third time — training dominates the
+        # per-distribution fixed cost, and the drift guard retrains
+        # whenever a later chunk stops matching the sampled distribution
+        if name == "fsst2" and "fsst" in plans:
+            sh = plans.setdefault("fsst2", {"p1": plans["fsst"]})
+        else:
+            sh = plans.setdefault(name, {})
         try:
-            e = encode_column(sample, name)
+            e = encode_column(sample, name, shared=sh)
         except (ValueError, TypeError):
+            plans.pop(name, None)
             continue
         trials[name] = len(e.payload)
         bytes_in = e.bytes_in
@@ -133,7 +149,8 @@ def choose_codec(arr: pa.Array, max_rows: int = DEFAULT_SAMPLE_ROWS) -> Choice:
                 if trials.get(n, 1 << 62) <= cutoff)
     best_size = trials[best]
     ratio = (bytes_in / best_size) if (bytes_in and best_size) else 1.0
-    return Choice(best, ratio, trials)
+    return Choice(best, ratio, trials,
+                  plans={k: v for k, v in plans.items() if v})
 
 
 def plan_columns(batch: pa.RecordBatch | pa.Table,
