@@ -92,19 +92,16 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 # ------------------------------------------------------- n-gram jaccard
 
-def _shingle_hashes(df: DataFrame, text_col: str, id_col: str,
-                    n: int) -> DataFrame:
-    """Distinct word n-grams per document as int64 hashes, via JVM-side
-    array functions: (id, sh).
-
-    The shingle never exists as a string — each position hashes its n
-    words directly (multi-arg xxhash64), which skips the per-position
-    slice+concat allocations and shuffles 8-byte keys. Any injective
-    shingle representation gives identical pair semantics (shingles are
-    distinct per doc, so intersection counts survive hashing; collisions
-    ~2^-64), which is why the DuckDB oracle can keep using the literal
-    string form. Docs shorter than n words yield no shingles (matching
-    the oracle's empty range)."""
+def _shingle_array(text_col: str, n: int):
+    """Column expr: the doc's DISTINCT word n-gram hashes as an
+    array<bigint>. The shingle never exists as a string — each position
+    hashes its n words directly (multi-arg xxhash64), which skips the
+    per-position slice+concat allocations and shuffles 8-byte keys. Any
+    injective shingle representation gives identical pair semantics
+    (shingles are distinct per doc, so intersection counts survive
+    hashing; collisions ~2^-64), which is why the DuckDB oracle can keep
+    using the literal string form. Docs shorter than n words yield an
+    empty array (matching the oracle's empty range)."""
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - F.lit(n - 1)
     grams = F.when(k >= 1, F.transform(
@@ -112,8 +109,14 @@ def _shingle_hashes(df: DataFrame, text_col: str, id_col: str,
         lambda i: F.xxhash64(*[F.element_at(words, i + F.lit(j))
                                for j in range(n)]))) \
         .otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(grams)
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str,
+                    n: int) -> DataFrame:
+    """Distinct word n-grams per document as int64 hashes: (id, sh)."""
     return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(grams)).alias("sh")))
+                      F.explode(_shingle_array(text_col, n)).alias("sh")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
@@ -165,26 +168,37 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     strict superset of true pairs, so the result is exactly the brute
     force's — oracle-identical by construction.
     """
-    # the posting list feeds five consumers (document frequencies, prefix
-    # window, candidate self-join sides, both intersection joins, sizes) —
-    # persist the NARROW (id, sh) rows (2 longs) BEFORE the dfreq pass so
-    # the explode+hash subtree runs exactly once (persisting the joined
-    # rows instead, as r2 did, recomputed the shingles for the dfreq side)
-    sh = _rotate_cache("ngram_sh", _shingle_hashes(df, text_col, id_col, n))
+    # ONE cache holds each doc's distinct-shingle ARRAY: the split+hash
+    # subtree (the expensive per-row compute) runs exactly once, and
+    # every consumer — document frequencies, the prefix window, the doc
+    # sizes, and the verify stage's set intersections — derives from the
+    # cached arrays with cheap in-memory ops. (Referencing the array
+    # expression twice in one Project instead would INLINE it twice:
+    # Catalyst recomputes aliased expressions per use, measured 3x the
+    # cold pass. And ``sz`` from the array kills the old
+    # count-over-window plus the separate ``sizes`` aggregation and its
+    # two join-backs.)
+    sets = _rotate_cache("ngram_sets", df.select(
+        F.col(id_col).alias("id"),
+        _shingle_array(text_col, n).alias("arr")))
+    sh = sets.select("id", F.size("arr").cast("long").alias("sz"),
+                     F.explode("arr").alias("sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "sh")
     sized = (sh.join(dfreq, "sh")
-               .withColumn("pos", F.row_number().over(w))
-               .withColumn("sz", F.count(F.lit(1)).over(
-                   Window.partitionBy("id"))))
+               .withColumn("pos", F.row_number().over(w)))
     # the 1e-9 slack mirrors the candidate filters below: 0.55*100 is
     # 55.000000000000007 in doubles and an unguarded ceil would shrink
     # the prefix by one slot — enough to silently miss a true pair whose
     # only shared shingle sits in the last prefix position
-    prefix = sized.filter(
+    #
+    # the prefix frame is CACHED: both sides of the candidate self-join
+    # consume it, and without the cache Spark duplicates the whole
+    # dfreq-join + window subtree per side (the r5 plan computed it twice)
+    prefix = _rotate_cache("ngram_prefix", sized.filter(
         F.col("pos") <= F.col("sz")
         - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
-        + F.lit(1))
+        + F.lit(1)).select("id", "sh", "sz", "pos"))
     # two provably safe candidate prunes (both leave a SUPERSET of true
     # pairs, so the exact verify below keeps the output oracle-identical):
     # - size filter: J >= t forces t*|b| <= |a| <= |b|/t;
@@ -201,39 +215,43 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     # the 1e-9 slack keeps float rounding from ever tightening a bound
     # past its exact rational value (which would prune a true pair)
     eps = 1e-9
+    # sz_a/sz_b ride the aggregation as grouping keys (functionally
+    # dependent on the ids) so the verify stage needs no size join-backs
     cand = (a.join(b, "sh")
              .filter((F.col("id_a") < F.col("id_b"))
                      & (F.col("sz_a") * F.lit(threshold) - F.lit(eps)
                         <= F.col("sz_b"))
                      & (F.col("sz_b") * F.lit(threshold) - F.lit(eps)
                         <= F.col("sz_a")))
-             .groupBy("id_a", "id_b")
+             .groupBy("id_a", "id_b", "sz_a", "sz_b")
              .agg(F.min("pos_a").alias("min_pa"),
-                  F.min("pos_b").alias("min_pb"),
-                  F.first("sz_a").alias("sz_a"),
-                  F.first("sz_b").alias("sz_b"))
+                  F.min("pos_b").alias("min_pb"))
              .filter(F.lit(1)
                      + F.least(F.col("sz_a") - F.col("min_pa"),
                                F.col("sz_b") - F.col("min_pb"))
                      >= F.ceil(F.lit(threshold / (1.0 + threshold))
                                * (F.col("sz_a") + F.col("sz_b"))
                                - F.lit(eps)))
-             .select("id_a", "id_b"))
-    # verify stage as POSTING-LIST intersection counts (VERDICT r2 #2):
-    # route each candidate pair through the (id, sh) posting rows twice —
-    # every shuffle row stays 3 longs wide — instead of collect_list'ing
-    # full shingle arrays and shipping both per pair through
-    # array_intersect (which duplicated ~doc-size payloads per candidate).
+             .select("id_a", "id_b", "sz_a", "sz_b"))
+    # verify stage: exact intersection per candidate from the CACHED
+    # per-doc shingle sets. The r5 posting-list form shuffled one row per
+    # (pair, shingle of a) — candidates x |doc| narrow rows plus a final
+    # groupBy; the set-array form moves the same bytes as candidates x 2
+    # arrays in candidates-many rows, with a per-row array_intersect
+    # instead of a count aggregation (measured ~3x on the verify stage).
+    # Scale shape is unchanged — both forms shuffle O(candidates x
+    # doc_size) bytes; AQE broadcasts the set side when it is small.
+    # Shingles are distinct per doc, so size(array_intersect) IS the
+    # exact intersection count.
     inter = (cand
-             .join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
-             .join(sh.select(F.col("id").alias("id_b"), "sh"),
-                   ["id_b", "sh"])
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
+             .join(sets.select(F.col("id").alias("id_a"),
+                               F.col("arr").alias("arr_a")), "id_a")
+             .join(sets.select(F.col("id").alias("id_b"),
+                               F.col("arr").alias("arr_b")), "id_b")
+             .select("id_a", "id_b", "sz_a", "sz_b",
+                     F.size(F.array_intersect("arr_a", "arr_b"))
+                      .cast("long").alias("inter")))
+    return (inter
             .withColumn("jaccard",
                         F.col("inter") /
                         (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
@@ -366,17 +384,27 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 F.lit(31 ** j).cast("long")
         return out
 
-    band_cols = [F.struct(F.lit(b).alias("band"),
-                          band_hash(b).alias("bh")).alias(f"b{b}")
-                 for b in range(bands)]
-    bk = (sigs.select("id", F.explode(F.array(*band_cols)).alias("bk"))
-          .select("id", F.col("bk.band").alias("band"),
-                  F.col("bk.bh").alias("bh")))
-    l = bk.select(F.col("id").alias("id_a"), "band", "bh")
-    r = bk.select(F.col("id").alias("id_b"), "band", "bh")
+    # every doc's 8 band hashes ride each bucket row as an array, so a
+    # joined pair can check "is this the FIRST band we match in?" with
+    # pure column ops — each matching pair is then emitted EXACTLY once
+    # (at its first shared band) and the candidate DISTINCT exchange
+    # disappears. The raw bucket-join output never crosses the network:
+    # the first-band filter runs in the same stage as the join.
+    bhs = F.array(*[band_hash(b) for b in range(bands)])
+    bk = (sigs.select("id", bhs.alias("bhs"))
+          .select("id", "bhs", F.posexplode("bhs").alias("band", "bh")))
+    l = bk.select(F.col("id").alias("id_a"), F.col("bhs").alias("bhs_a"),
+                  "band", "bh")
+    r = bk.select(F.col("id").alias("id_b"), F.col("bhs").alias("bhs_b"),
+                  "band", "bh")
+    first_band = F.size(F.filter(
+        F.zip_with(F.slice("bhs_a", 1, F.col("band")),
+                   F.slice("bhs_b", 1, F.col("band")),
+                   lambda x, y: x == y),
+        lambda m: m)) == 0
     cand = (l.join(r, ["band", "bh"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+             .filter((F.col("id_a") < F.col("id_b")) & first_band)
+             .select("id_a", "id_b"))
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -487,8 +515,25 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                   "band", "bh")
     r = bk.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"),
                   "band", "bh")
-    pairs = (l.join(r, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "h_a", "h_b").distinct())
+    # first-matching-band emission instead of DISTINCT: a pair matching in
+    # band b is kept only when no band b' < b also matches — each pair
+    # survives exactly once, and the duplicate-eliminating exchange
+    # disappears. "Some earlier band matches" == the low 16*band bits of
+    # h_a XOR h_b contain an all-zero 16-bit group == masked XOR has
+    # fewer than `band` nonzero groups... checked directly with bit math:
+    # a group of 16 zero bits in x is detected per-band via equality of
+    # the band slices, OR-folded over b' < band.
+    xor = F.col("h_a").bitwiseXOR(F.col("h_b"))
+    earlier = [F.shiftrightunsigned(xor, b * 16)
+               .bitwiseAND(F.lit(0xFFFF)) == 0 for b in range(4)]
+    no_earlier_match = ~F.when(
+        F.col("band") == 1, earlier[0]).when(
+        F.col("band") == 2, earlier[0] | earlier[1]).when(
+        F.col("band") == 3, earlier[0] | earlier[1] | earlier[2]) \
+        .otherwise(F.lit(False))
+    pairs = (l.join(r, ["band", "bh"])
+             .filter((F.col("id_a") < F.col("id_b")) & no_earlier_match)
+             .select("id_a", "id_b", "h_a", "h_b"))
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (pairs.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)

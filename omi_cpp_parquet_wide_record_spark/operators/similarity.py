@@ -241,16 +241,35 @@ def lsh_cosine_candidates(df: DataFrame, n_planes: int = 12, bands: int = 3,
             F.lit((1 << width) - 1)).alias("bh")).alias(f"b{b}")
         for b in range(bands)]
     # both self-join sides consume the signature kernel's output — cache
-    # the NARROW (id, band, bh) rows so the mapInArrow subtree runs once
-    # per input, not twice (and not at all on a repeated identical call)
+    # the NARROW (id, bucket, band, bh) rows so the mapInArrow subtree
+    # runs once per input, not twice (and not at all on a repeated
+    # identical call)
     bk = _rotate_cache("lsh_bands", sigs
-                       .select("id", F.explode(F.array(*band_cols))
-                               .alias("bk"))
-                       .select("id", "bk.band", "bk.bh"))
-    l = bk.select(F.col("id").alias("id_a"), "band", "bh")
-    r = bk.select(F.col("id").alias("id_b"), "band", "bh")
-    cand = (l.join(r, ["band", "bh"]).filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+                       .select("id", "bucket",
+                               F.explode(F.array(*band_cols)).alias("bk"))
+                       .select("id", "bucket", "bk.band", "bk.bh"))
+    l = bk.select(F.col("id").alias("id_a"),
+                  F.col("bucket").alias("bkt_a"), "band", "bh")
+    r = bk.select(F.col("id").alias("id_b"),
+                  F.col("bucket").alias("bkt_b"), "band", "bh")
+    # first-matching-band emission instead of DISTINCT (same rewrite as
+    # the dedup LSH operators): a pair is kept only in the lowest band
+    # where the bucket slices agree, so every candidate appears exactly
+    # once without a duplicate-eliminating exchange
+    xor = F.col("bkt_a").bitwiseXOR(F.col("bkt_b"))
+    mask = (1 << width) - 1
+    earlier = [F.shiftrightunsigned(xor, b * width)
+               .bitwiseAND(F.lit(mask)) == 0 for b in range(bands)]
+    no_earlier = F.lit(True)
+    for b in range(bands - 1, 0, -1):
+        prior = earlier[0]
+        for bb in range(1, b):
+            prior = prior | earlier[bb]
+        no_earlier = F.when(F.col("band") == b, ~prior) \
+            .otherwise(no_earlier)
+    cand = (l.join(r, ["band", "bh"])
+            .filter((F.col("id_a") < F.col("id_b")) & no_earlier)
+            .select("id_a", "id_b"))
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     scored = _pair_cosine_quantized(
