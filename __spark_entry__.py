@@ -691,9 +691,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ["event_id", "event_type", "user_id"])
 
     # ---------------- general query surface (SURVEY §2.2 engine needs)
+    # spread_input after the pushed-down filter (guide §2.5): the driver
+    # tables are small single-row-group parquet files, so the scan is ONE
+    # task and the decimal-cast aggregation would run single-core; the
+    # repartition is a no-op whenever the scan already has enough splits.
+    # Decimal sums are exact (order-free), so results are unchanged.
+    from omi_cpp_parquet_wide_record_spark.operators.etl import spread_input
     q["tpch_q1_pricing_summary"] = lambda s, d: (
-        _read(s, d, "lineitem")
-        .filter(F.col("l_shipdate") <= "1998-09-02")
+        spread_input(_read(s, d, "lineitem")
+                     .filter(F.col("l_shipdate") <= "1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
               .alias("sum_qty"),

@@ -39,13 +39,9 @@ def _spread(df: DataFrame) -> DataFrame:
     upstream scan produced too few partitions (a 25 MB parquet file is ONE
     task, which would serialize the whole numpy kernel on one core). The
     shuffle moves only the kernel's narrow input columns; skipped when the
-    plan is already parallel enough."""
-    want = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        have = df.rdd.getNumPartitions()
-    except Exception:
-        have = 1
-    return df.repartition(want) if have < want else df
+    plan is already parallel enough. (Shared impl: etl.spread_input.)"""
+    from omi_cpp_parquet_wide_record_spark.operators.etl import spread_input
+    return spread_input(df)
 
 
 def _rotate_cache(site: str, df: DataFrame) -> DataFrame:
@@ -630,6 +626,9 @@ def curate_corpus(df: DataFrame, min_quality: float = 0.5,
         lang_id, quality_score,
     )
     t = F.col(text_col)
+    # spread first (guide §2.5): the regex-heavy gate would otherwise run
+    # single-threaded over a small parquet source's one scan task
+    df = _spread(df)
     # persist METADATA only (id, md5, quality, lang) — never the document
     # text: a full-text MEMORY_AND_DISK cache is a spill hazard at 100 TB
     # (VERDICT r2 "what's wrong" #4). Consumers that need text re-derive

@@ -17,6 +17,22 @@ from pyspark.sql import DataFrame, functions as F
 _DENSE_INDEX_CACHE: dict[str, DataFrame] = {}
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Repartition a computation's input up to cluster parallelism when the
+    upstream scan produced too few partitions (guide §2.5 input skew: a
+    small or single-row-group parquet file is ONE scan task, which
+    serializes every per-row expression downstream on one core — at any
+    realistic table size the scan already has enough splits and this is a
+    no-op). The shuffle moves only the columns the plan needs; results are
+    row-order-independent by contract everywhere this is applied."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        have = 1
+    return df.repartition(want) if have < want else df
+
+
 def protocol_filter(df: DataFrame, type_col: str, keep: str) -> DataFrame:
     """O2 (ref NQ:3401-3434): early predicate drop of non-matching records —
     the eth/vlan/ip strip that keeps only UDP. Catalyst pushes this into the

@@ -66,9 +66,11 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     q = queries.filter(valid_vector(vec_col)) \
         .select(F.col(id_col).alias("query_id"),
                 F.col(vec_col).cast("array<double>").alias("qv"))
-    c = corpus.filter(valid_vector(vec_col)) \
-        .select(F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).cast("array<double>").alias("cv"))
+    # spread the streaming side (guide §2.5): the per-pair fold is the
+    # whole cost and a single-scan-task corpus would serialize it
+    c = _spread(corpus.filter(valid_vector(vec_col))
+                .select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("cv")))
     scored = (F.broadcast(q).crossJoin(c)
               .filter(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine", trunc(_cosine(F.col("qv"),

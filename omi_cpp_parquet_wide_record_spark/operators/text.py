@@ -113,7 +113,14 @@ def fingerprint(text: Column) -> Column:
 
 def text_profile(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
-    """One row per doc: the full analysis projection."""
+    """One row per doc: the full analysis projection.
+
+    The input is spread to cluster parallelism first (guide §2.5): the
+    ~20 regex scans per document are the whole cost of this operator, and
+    a small single-row-group parquet source would otherwise run them all
+    on one core. Row order is immaterial (pure projection)."""
+    from omi_cpp_parquet_wide_record_spark.operators.etl import spread_input
+    df = spread_input(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
