@@ -308,15 +308,29 @@ def _minhash_kernel(n_perms: int, n_shingle: int, seed: int):
         h, doc_of = h[keep], doc_of[keep]
         if len(h) == 0:
             return sigs
-        # per-perm min over each doc's window hashes
-        order = np.argsort(doc_of, kind="stable")
-        doc_sorted, h_sorted = doc_of[order], h[order]
+        # doc_of is already sorted (repeat of arange, order-preserving
+        # masks) — no argsort needed. Dedupe (doc, h) before the perm
+        # loop: min over a multiset equals min over its distinct values,
+        # and repeated shingles are common in real text, so every perm
+        # pass then runs over the (often much smaller) distinct set. The
+        # packed key (doc << 31 | h) is exact: h < 2^31.
+        uniq = np.unique((doc_of << np.int64(31)) | h)
+        doc_u = uniq >> np.int64(31)
+        h_u = uniq & np.int64(MINHASH_P)
         seg_starts = np.flatnonzero(np.concatenate(
-            ([True], doc_sorted[1:] != doc_sorted[:-1])))
-        seg_docs = doc_sorted[seg_starts]
+            ([True], doc_u[1:] != doc_u[:-1])))
+        seg_docs = doc_u[seg_starts]
+        P = np.int64(MINHASH_P)
         for k in range(n_perms):
-            hk = (A[k] * h_sorted + B[k]) % MINHASH_P
-            mins = np.minimum.reduceat(hk, seg_starts)
+            # (A*h + B) mod p via Mersenne folds (p = 2^31 - 1, so
+            # 2^31 ≡ 1): two shift-add folds bring x < 2^62 down to
+            # [0, p], and the single ==p slot is exactly x ≡ 0 — no
+            # 64-bit division per element
+            x = A[k] * h_u + B[k]
+            x = (x >> np.int64(31)) + (x & P)
+            x = (x >> np.int64(31)) + (x & P)
+            x[x == P] = 0
+            mins = np.minimum.reduceat(x, seg_starts)
             sigs[seg_docs, k] = mins
         return sigs
 
@@ -444,7 +458,6 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             cb = np.frombuffer(corpus, dtype=np.uint8)
             h1 = _token_hashes_modp(cb, lens, 257, seed * 1000003 + 1)
             h2 = _token_hashes_modp(cb, lens, 263, seed * 2000003 + 1)
-            doc_of = np.repeat(np.arange(len(ids)), counts)
             # bag semantics: every token INSTANCE votes (a shared-vocab
             # corpus needs the occurrence counts for discrimination —
             # set-based voting collapses same-vocabulary docs together).
@@ -453,12 +466,23 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
             # LSH/MinHash oracles already reproduce in SQL.
             from omi_cpp_parquet_wide_record_spark.fixtures import lowbias32
             m1, m2 = lowbias32(h1), lowbias32(h2)
+            # int32 bit matrix + segmented reduceat: np.add.at is a
+            # per-element scatter loop (measured ~10x slower than the
+            # segmented sum over the already-sorted doc_of), and the old
+            # int64 intermediates doubled the bytes of the biggest array
             bits = np.concatenate(
-                [(m1[:, None] >> np.arange(31)) & 1,
-                 (m2[:, None] >> np.arange(31)) & 1],
-                axis=1).astype(np.int32) * 2 - 1        # (n_tok, 62)
-            votes = np.zeros((len(ids), 62), dtype=np.int64)
-            np.add.at(votes, doc_of, bits)
+                [(m1.astype(np.uint32)[:, None]
+                  >> np.arange(31, dtype=np.uint32)) & np.uint32(1),
+                 (m2.astype(np.uint32)[:, None]
+                  >> np.arange(31, dtype=np.uint32)) & np.uint32(1)],
+                axis=1).astype(np.int32)
+            bits = bits * 2 - 1                         # (n_tok, 62) votes
+            votes = np.zeros((len(ids), 62), dtype=np.int32)
+            starts = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(counts, out=starts[1:])
+            nz = np.flatnonzero(counts > 0)
+            if len(nz) and len(bits):
+                votes[nz] = np.add.reduceat(bits, starts[:-1][nz], axis=0)
             sim = (votes > 0).astype(np.int64)
             out = (sim << np.arange(62, dtype=np.int64)).sum(axis=1)
             yield pa.RecordBatch.from_arrays(
