@@ -124,7 +124,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5, n: int = 3,
     max_doc_freq drops shingles appearing in more docs (stop-shingle cap —
     the skew guard that keeps the self-join sub-quadratic at corpus scale).
     """
-    sh = _shingle_hashes(df, text_col, id_col, n) \
+    sh = _shingle_hashes(_spread(df.select(id_col, text_col)),
+                         text_col, id_col, n) \
         .withColumnRenamed("sh", "shingle")
     if max_doc_freq is not None:
         hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -174,9 +175,12 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     # cold pass. And ``sz`` from the array kills the old
     # count-over-window plus the separate ``sizes`` aggregation and its
     # two join-backs.)
-    sets = _rotate_cache("ngram_sets", df.select(
-        F.col(id_col).alias("id"),
-        _shingle_array(text_col, n).alias("arr")))
+    # spread first (guide §2.5): the gram hashing runs through Catalyst
+    # higher-order functions (no whole-stage codegen), and a single-task
+    # scan would serialize that — the dominant cold cost — on one core
+    sets = _rotate_cache("ngram_sets", _spread(df.select(
+        F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", _shingle_array(text_col, n).alias("arr")))
     sh = sets.select("id", F.size("arr").cast("long").alias("sz"),
                      F.explode("arr").alias("sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -417,6 +421,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .select("id_a", "id_b"))
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # lane-match fraction stays a Catalyst zip_with/aggregate: an A/B
+    # against a numpy mapInArrow kernel measured the JVM->Python transfer
+    # of both 32-long signatures per pair COSTLIER than the interpreted
+    # higher-order fold (0.55 vs 0.80 s on the bench corpus) — the guide
+    # §4 boundary rule cuts the other way at this array width
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0), lambda acc, v: acc + v) / F.lit(float(n_perms))
@@ -663,9 +672,16 @@ def curate_corpus(df: DataFrame, min_quality: float = 0.5,
           .filter((F.col("quality") >= min_quality)
                   & F.col("lang_pred").isin(*langs))
           .select(id_col, F.md5(t).alias("__md5"), "quality", "lang_pred")))
-    w = Window.partitionBy("__md5").orderBy(F.col(id_col))
-    uniq = (meta.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn", "__md5"))
+    # keep-min-id per fingerprint as an AGGREGATION, not a window:
+    # groupBy gets map-side partial aggregation and no per-partition sort
+    # (the row_number window shuffled and sorted every gated row). min_by
+    # ties are impossible — ids are unique.
+    uniq = (meta.groupBy("__md5")
+            .agg(F.min(id_col).alias(id_col),
+                 F.min_by(F.struct("quality", "lang_pred"),
+                          F.col(id_col)).alias("__w"))
+            .select(id_col, F.col("__w.quality").alias("quality"),
+                    F.col("__w.lang_pred").alias("lang_pred")))
     # near-dups are found among the GATED docs only: a surviving doc must
     # never be dropped because its sole near-duplicate was already
     # rejected by the gate (that would lose the content entirely)
