@@ -789,9 +789,19 @@ def decode_store(spark: SparkSession, out_dir: str,
         for c, op, v in filters:
             base_c, acc = _split_filter_col(c)
             if acc == "val":
+                if op in ("is_null", "is_not_null"):
+                    # null ops on the existential element accessor are
+                    # ambiguous (SOME element null? the row null?) —
+                    # reject explicitly before planning rather than
+                    # KeyError mid-build (ADVICE r5)
+                    raise ValueError(
+                        f"filter op {op!r} is not supported on the "
+                        f"'#val' nested accessor ({c}); filter the "
+                        "column itself or use a comparison op")
                 pred = {"<": lambda x: x < v, "<=": lambda x: x <= v,
                         ">": lambda x: x > v, ">=": lambda x: x >= v,
                         "==": lambda x: x == v,
+                        "startswith": lambda x: x.startswith(v),
                         "in": lambda x: (x.isin(*list(v)) if len(v)
                                          else F.lit(False))}[op]
                 base = F.col(base_c)

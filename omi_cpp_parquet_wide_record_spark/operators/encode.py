@@ -686,10 +686,14 @@ def encode_dataframe(
         work = work.sortWithinPartitions(PID_COL, *sort_by)
 
     # upsert: collect the batch's distinct keys (column-pruned extra pass)
-    # for the same-snapshot equality delete; an empty store needs none —
-    # there is no prior data to hide, the upsert degenerates to an insert
+    # for the same-snapshot equality delete. The keys are collected even
+    # when the store LOOKED empty at the unlocked read above: a
+    # concurrent first commit could land before ours takes the lock, and
+    # a delete-less upsert would then leave duplicate keys (ADVICE r5).
+    # On a truly empty store the sequence-scoped delete hides nothing —
+    # same live view, one spare metadata file.
     upsert_delete = None
-    if upsert_key is not None and prior is not None:
+    if upsert_key is not None:
         upsert_delete = (df.select(upsert_key).distinct().toArrow()
                          .rename_columns([upsert_key]), upsert_key)
 
@@ -726,7 +730,7 @@ def encode_dataframe(
         raise ValueError("nothing to encode: input DataFrame is empty")
 
     snap = store.commit(manifest_rows, _spark_to_arrow_schema(df), run_id,
-                        branch=branch)
+                        add_delete=upsert_delete, branch=branch)
 
     bi = pc.sum(manifest_rows.column("bytes_in")).as_py() or 0
     bo = pc.sum(manifest_rows.column("bytes_out")).as_py() or 0

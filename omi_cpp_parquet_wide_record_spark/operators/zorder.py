@@ -42,9 +42,15 @@ def _ordinal(df: DataFrame, name: str) -> Column:
     dt = df.schema[name].dataType
     col = F.col(name)
     if isinstance(dt, (T.StringType, T.BinaryType)):
-        # hex() of the first 7 bytes -> base-16 string -> long. conv()
-        # returns NULL for empty input; coalesce to 0 (sorts first).
-        raw = F.substring(col.cast("binary"), 1, 7)
+        # first 7 bytes RIGHT-PADDED with zero bytes (concat + substring:
+        # rpad's pad argument is a string, not bytes) -> hex -> long.
+        # Without the pad, a short string's ordinal was smaller than any
+        # longer string's ('b' < 'aa' numerically), breaking the
+        # lexicographic order the layout is supposed to follow (ADVICE
+        # r5). conv() returns NULL for NULL input; coalesce to 0
+        # (sorts first, NULLS FIRST).
+        raw = F.substring(F.concat(col.cast("binary"), F.lit(bytes(7))),
+                          1, 7)
         return F.coalesce(F.conv(F.hex(raw), 16, 10).cast("long"),
                           F.lit(0).cast("long"))
     if isinstance(dt, T.TimestampType):
@@ -59,25 +65,29 @@ def _ordinal(df: DataFrame, name: str) -> Column:
                      f"{dt.simpleString()}")
 
 
-def _quantize(ordinal: Column, lo: float, hi: float) -> Column:
-    """Min/max-normalize an ordinal into [0, 2^16): floor((x-lo)*scale),
+def _quantize(ordinal: Column, lo: float, hi: float,
+              bits: int = _BITS) -> Column:
+    """Min/max-normalize an ordinal into [0, 2^bits): floor((x-lo)*scale),
     clamped (stats may be sampled / stale), NULL -> 0."""
+    maxq = (1 << bits) - 1
     if hi <= lo:
         return F.lit(0).cast("long")
-    scale = float(_MAXQ) / (float(hi) - float(lo))
+    scale = float(maxq) / (float(hi) - float(lo))
     q = F.floor((ordinal.cast("double") - float(lo)) * F.lit(scale))
-    q = F.least(F.greatest(q, F.lit(0)), F.lit(_MAXQ))
+    q = F.least(F.greatest(q, F.lit(0)), F.lit(maxq))
     return F.coalesce(q.cast("long"), F.lit(0).cast("long"))
 
 
-def _interleave(quantized: list[Column]) -> Column:
-    """Bit-interleave k 16-bit values into one long: bit b of column i
-    lands at position b*k + i. Pure shift/mask expression tree (~16*k
-    codegen'd ops), no UDF."""
+def _interleave(quantized: list[Column], bits: int = _BITS) -> Column:
+    """Bit-interleave k values of `bits` bits into one long: bit b of
+    column i lands at position b*k + i. Pure shift/mask expression tree
+    (~bits*k codegen'd ops), no UDF. The caller keeps b*k+i <= 62 — a
+    shift into bit 63 made those rows' keys NEGATIVE, sorting them before
+    all others and silently breaking Morton locality (ADVICE r5)."""
     k = len(quantized)
     out = F.lit(0).cast("long")
     for i, q in enumerate(quantized):
-        for b in range(_BITS):
+        for b in range(bits):
             out = out.bitwiseOR(
                 F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)),
                             b * k + i))
@@ -94,12 +104,17 @@ def zorder_key(df: DataFrame, cols: list[str],
     """
     if not 2 <= len(cols) <= 4:
         raise ValueError("zorder_by takes 2-4 columns")
+    # keep the top interleaved bit out of the sign: bits*k - 1 <= 62
+    # (16 bits fits k<=3; k=4 drops to 15 bits — a one-bit quantization
+    # cost on each column instead of a sign-flipped key for rows with
+    # the 4th column's top bit set)
+    bits = _BITS if len(cols) * _BITS <= 63 else 63 // len(cols)
     ords = [_ordinal(df, c) for c in cols]
     src = df.sample(stats_sample) if stats_sample else df
     aggs = []
     for c, o in zip(cols, ords):
         aggs += [F.min(o).alias(f"lo_{c}"), F.max(o).alias(f"hi_{c}")]
     row = src.agg(*aggs).first()
-    qs = [_quantize(o, row[f"lo_{c}"] or 0, row[f"hi_{c}"] or 0)
+    qs = [_quantize(o, row[f"lo_{c}"] or 0, row[f"hi_{c}"] or 0, bits)
           for c, o in zip(cols, ords)]
-    return _interleave(qs)
+    return _interleave(qs, bits)

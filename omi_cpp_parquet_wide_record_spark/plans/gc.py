@@ -62,8 +62,22 @@ def _old_enough(path: str, older_than_s: float) -> bool:
 def expire_snapshots(store: ChunkStore, keep_last: int = 1,
                      older_than_s: float = 0) -> dict:
     """Drop all but the newest `keep_last` snapshots plus any manifests and
-    chunk files only they referenced. Returns a deletion report."""
+    chunk files only they referenced. Returns a deletion report.
+
+    The METADATA phase (snapshot/refs read through snapshot-JSON removal)
+    runs under the store's commit lock: a commit writes snapshot-N.json
+    and only then flips `_current`/refs, so an unlocked GC racing that
+    window classified the about-to-be-referenced snapshot as dead and
+    removed it — leaving the pointer at a missing file. Snapshot JSON
+    deletion additionally honors ``older_than_s`` like every other
+    artifact class (belt and braces for lock-free callers)."""
     keep_last = max(int(keep_last), 0)
+    with store._commit_lock():
+        return _expire_snapshots_locked(store, keep_last, older_than_s)
+
+
+def _expire_snapshots_locked(store: ChunkStore, keep_last: int,
+                             older_than_s: float) -> dict:
     snaps, unparsable = _load_snapshots(store)
     names = [n for n, _ in snaps]
     # the snapshot _current points to is live unconditionally — a crash
@@ -122,7 +136,10 @@ def expire_snapshots(store: ChunkStore, keep_last: int = 1,
         raise ValueError(
             f"live snapshot {current} is unreadable — refusing to GC a "
             "broken store")
-    dead = [n for n in names if n not in live] + unparsable
+    dead = []
+    for n in [n for n in names if n not in live] + unparsable:
+        if _old_enough(os.path.join(store.snapshots_dir, n), older_than_s):
+            dead.append(n)
     live_manifests: set[str] = set()
     for name in sorted(live):
         if name in by_name:

@@ -605,6 +605,21 @@ class ChunkStore:
                 f"parent {expected_parent_id}, found "
                 f"{parent.get('snapshot_id') if parent else None}) — "
                 "re-derive against the new head and retry")
+        # retired-name guard UNDER the lock (ADVICE r5): writers check it
+        # against the head they read before the lock, but a concurrent
+        # evolve can retire a name in between — re-validate against the
+        # true parent here, for every commit path (batch encode and the
+        # streaming sink both land in this function). Evolve commits pass
+        # their own alias/retired sets and are exempt (their schema is
+        # derived from the head under their own CAS).
+        if (parent is not None and not replace and schema is not None
+                and retired_names is None and column_aliases is None):
+            bad = set(parent.get("retired_names", [])) & set(schema.names)
+            if bad:
+                raise CommitConflict(
+                    f"column name(s) {sorted(bad)} were retired by a "
+                    "concurrent schema evolution and cannot be reused; "
+                    "pick a fresh name")
         n = self._next_n()
         if isinstance(manifest, list):
             if new_pids is None:

@@ -48,22 +48,55 @@ def engine_fingerprint() -> str:
             paths.append(full)
     h = hashlib.sha256()
     if paths:
-        for p in sorted(paths):
-            rel = os.path.relpath(p, pkg_root)
-            h.update(rel.encode())
+        # hash (module-style name, decoded source) sorted BY MODULE NAME
+        # — the same normal form the zipimport fallback below produces,
+        # so one store's fingerprint matches across local and --py-files
+        # runs
+        named = []
+        for p in paths:
+            rel = os.path.relpath(p, pkg_root)[:-3].replace(os.sep, ".")
+            if rel.endswith(".__init__"):
+                rel = rel[: -len(".__init__")]
             with open(p, "rb") as f:
-                h.update(f.read())
+                named.append((rel, f.read().decode("utf-8", "replace")
+                              .replace("\r\n", "\n")))
+        for rel, src in sorted(named):
+            h.update(rel.encode())
+            h.update(src.encode())
     else:
         # zipimport (--py-files): the package dir is inside an archive,
         # so walk/open see nothing — hash module SOURCES via the import
-        # loaders instead (zipimporter implements get_source)
+        # loaders instead. The module list is DERIVED from _SURFACE by
+        # listing the archive's entries under the package prefix (a
+        # second hand-maintained list drifted: a new codec module
+        # updated the walked digest but not the zip digest, so the same
+        # code fingerprinted differently local vs --py-files; ADVICE r5)
         import importlib.util
         pkg = __name__.rsplit(".", 1)[0]
-        mods = ["codecs", "codecs.alp", "codecs.base", "codecs.dictionary",
-                "codecs.fsst", "codecs.intcodecs", "codecs.listarr",
-                "codecs.plain", "selector", "operators.encode",
-                "operators.decode", "plans.snapshot", "schema"]
-        for m in mods:
+        pkg_prefix = pkg.replace(".", "/") + "/"
+        mods: list[str] = []
+        for entry in _SURFACE:
+            if entry.endswith(".py"):
+                mods.append(entry[:-3].replace("/", "."))
+                continue
+            # directory surface: enumerate the zip archive's .py entries
+            # under <pkg>/<entry>/
+            try:
+                import zipfile
+                archive = os.path.dirname(pkg_root)
+                while archive and not os.path.isfile(archive):
+                    archive = os.path.dirname(archive)
+                with zipfile.ZipFile(archive) as zf:
+                    want = pkg_prefix + entry + "/"
+                    for name in zf.namelist():
+                        if name.startswith(want) and name.endswith(".py"):
+                            rel = name[len(pkg_prefix):-3]
+                            mods.append(rel.replace("/", ".")
+                                        .removesuffix(".__init__"))
+            except Exception:
+                # archive unreadable: fall back to the package itself
+                mods.append(entry.replace("/", "."))
+        for m in sorted(set(mods)):
             try:
                 spec = importlib.util.find_spec(f"{pkg}.{m}")
                 src = spec.loader.get_source(spec.name)  # type: ignore

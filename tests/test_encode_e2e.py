@@ -1438,13 +1438,16 @@ def test_upsert_single_commit_merge(spark, tmp_path):
     assert old.count() == 100
     assert {r.s for r in old.filter(F.col("id") == 55).collect()} == {"old55"}
 
-    # upsert into an EMPTY store degenerates to an insert (no delete file)
+    # upsert into an EMPTY store still carries its equality delete (r6:
+    # the delete-less empty-store shortcut raced a concurrent first
+    # commit — see ADVICE r5); sequence scoping makes it hide nothing,
+    # so the live view is a plain insert
     out2 = str(tmp_path / "store2")
     encode_dataframe(spark.range(0, 10).select(
         F.col("id"), F.col("id").cast("string").alias("s")), out2,
         salt_key="id", num_pids=2, resume=False, upsert_key="id")
     snap2 = ChunkStore(out2).current_snapshot()
-    assert snap2["delete_files"] == []
+    assert len(snap2["delete_files"]) == 1
     assert decode_store(spark, out2).count() == 10
 
     # guard rails: resume=True and unknown key column are rejected
