@@ -798,8 +798,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_type", "rk", "event_id", "value"))
     q["topk_per_group"] = _topk
 
+    # spread the PROBE side: the broadcast join and the partial decimal
+    # aggregation run inside the scan task, and the driver's orders file
+    # is one scan split (same rationale as tpch_q1; exact sums, so
+    # results are unchanged)
     q["broadcast_join_enrich"] = lambda s, d: (
-        _read(s, d, "orders")
+        spread_input(_read(s, d, "orders"))
         .join(F.broadcast(_read(s, d, "customer")),
               F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey")
