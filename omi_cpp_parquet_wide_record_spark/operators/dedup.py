@@ -538,8 +538,13 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                       F.shiftrightunsigned("simhash", b * 16).bitwiseAND(
                           F.lit(0xFFFF)).alias("bh")).alias(f"b{b}")
              for b in range(4)]
-    bk = (sigs.select("id", "simhash", F.explode(F.array(*bands)).alias("bk"))
-          .select("id", "simhash", "bk.band", "bk.bh"))
+    # both self-join sides consume the signature kernel's output — cache
+    # the banded rows so the mapInArrow subtree runs once per input, not
+    # once per side (and not at all on a repeated identical call); same
+    # rationale as lsh_cosine_candidates' bands cache
+    bk = _rotate_cache("simhash_bands", (
+        sigs.select("id", "simhash", F.explode(F.array(*bands)).alias("bk"))
+            .select("id", "simhash", "bk.band", "bk.bh")))
     l = bk.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"),
                   "band", "bh")
     r = bk.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"),
