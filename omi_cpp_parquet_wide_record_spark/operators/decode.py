@@ -695,9 +695,22 @@ def decode_store(spark: SparkSession, out_dir: str,
         # JVM->Python Arrow runner setup (several chunk files per task)
         parallelism = min(max(len(file_subset), 1),
                           spark.sparkContext.defaultParallelism * 2)
-        fdf = spark.createDataFrame([(f,) for f in file_subset],
-                                    "chunk_file string") \
-            .repartition(parallelism)
+        if 0 < len(file_subset) <= 65536:
+            # range(numPartitions) + array-literal lookup distributes the
+            # file list WITHOUT an exchange: createDataFrame of a local
+            # list plans as a single-partition LocalTableScan, and the
+            # repartition it needed cost a whole extra stage per read
+            # (~0.3 s/action measured). Bounded: a corpus-scale file
+            # list belongs to planning="distributed" anyway.
+            from pyspark.sql import functions as FN
+            fdf = spark.range(0, len(file_subset), 1, parallelism).select(
+                FN.element_at(FN.lit(file_subset),
+                              FN.col("id").cast("int") + 1)
+                .alias("chunk_file"))
+        else:
+            fdf = spark.createDataFrame([(f,) for f in file_subset],
+                                        "chunk_file string") \
+                .repartition(parallelism)
         return fdf.mapInArrow(task, spark_schema)
 
     # merge-on-read deletes: anti-join each delete file's keys (the
